@@ -1,0 +1,348 @@
+"""Runtime configuration: dataclasses + fluent builder + JSON front-end.
+
+Mirrors the reference's three equivalent config front-ends
+(band/config.h:12-86, band/config_builder.h:171-279, JSON parsing in
+band/tool/benchmark.cc:168-276) with TPU-native worker descriptions:
+a worker is one JAX device or a meshed device group, not a mobile
+processor + cpu-affinity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .common import DeviceFlag, SchedulerType, SubgraphPreparationType, WorkerType
+from .errors import ConfigError
+
+_GLOBAL_QUEUE_SCHEDULERS = {
+    SchedulerType.FIXED_WORKER_GLOBAL_QUEUE,
+    SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME,
+    SchedulerType.LEAST_SLACK_TIME_FIRST,
+    SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME_RESERVED,
+}
+
+_FALLBACK_SCHEDULERS = {
+    SchedulerType.SHORTEST_EXPECTED_LATENCY,
+    SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME,
+    SchedulerType.LEAST_SLACK_TIME_FIRST,
+    SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME_RESERVED,
+}
+
+
+@dataclass
+class ProfileConfig:
+    """Latency profiling knobs (reference: band/config.h:12-23)."""
+
+    online: bool = True
+    num_warmups: int = 1
+    num_runs: int = 1
+    profile_data_path: str = ""
+    smoothing_factor: float = 0.1
+
+    def validate(self) -> None:
+        if self.num_warmups < 0 or self.num_runs < 1:
+            raise ConfigError("num_warmups must be >=0 and num_runs >=1")
+        if not (0.0 <= self.smoothing_factor <= 1.0):
+            raise ConfigError("smoothing_factor must be in [0, 1]")
+
+
+@dataclass
+class PlannerConfig:
+    """Planner knobs (reference: band/config.h:25-36)."""
+
+    schedule_window_size: int = 1 << 30
+    schedulers: List[SchedulerType] = field(
+        default_factory=lambda: [SchedulerType.FIXED_WORKER]
+    )
+    log_path: str = ""
+
+    def validate(self) -> None:
+        if not self.schedulers or len(self.schedulers) > 2:
+            raise ConfigError("planner needs 1 or 2 schedulers")
+        if self.schedule_window_size <= 0:
+            raise ConfigError("schedule_window_size must be positive")
+        # All schedulers must share one worker type (reference: planner.cc:95-99).
+        kinds = {s in _GLOBAL_QUEUE_SCHEDULERS for s in self.schedulers}
+        if len(kinds) > 1:
+            raise ConfigError(
+                "all schedulers must share a worker type (device vs global queue)"
+            )
+
+    @property
+    def worker_type(self) -> WorkerType:
+        return (
+            WorkerType.GLOBAL_QUEUE
+            if self.schedulers[0] in _GLOBAL_QUEUE_SCHEDULERS
+            else WorkerType.DEVICE_QUEUE
+        )
+
+    @property
+    def need_fallback_subgraphs(self) -> bool:
+        return any(s in _FALLBACK_SCHEDULERS for s in self.schedulers)
+
+
+@dataclass
+class WorkerSpec:
+    """One worker = one JAX device, or a meshed group of devices.
+
+    Replaces the reference's (DeviceFlag, cpu_mask, num_threads) triple
+    (band/config.h:38-56).  ``device_ids`` index into the platform's
+    ``jax.devices()`` list; a spec with >1 device becomes a sharded
+    mesh worker with axes named by ``mesh_axes``.
+    """
+
+    device: DeviceFlag = DeviceFlag.TPU
+    device_ids: Tuple[int, ...] = (0,)
+    mesh_shape: Tuple[int, ...] = ()
+    mesh_axes: Tuple[str, ...] = ()
+    # max dispatches in flight before the feeder thread blocks
+    dispatch_depth: int = 2
+
+    def validate(self) -> None:
+        if not self.device_ids:
+            raise ConfigError("worker needs at least one device id")
+        if len(self.device_ids) > 1:
+            shape = self.mesh_shape or (len(self.device_ids),)
+            n = 1
+            for s in shape:
+                n *= s
+            if n != len(self.device_ids):
+                raise ConfigError("mesh_shape must cover all device_ids")
+        if self.dispatch_depth < 1:
+            raise ConfigError("dispatch_depth must be >= 1")
+
+    @property
+    def is_mesh(self) -> bool:
+        return len(self.device_ids) > 1
+
+
+@dataclass
+class WorkerConfig:
+    """Worker pool (reference: band/config.h:38-56)."""
+
+    workers: List[WorkerSpec] = field(default_factory=list)
+    availability_check_interval_ms: int = 30_000
+    allow_worksteal: bool = False
+
+    def validate(self) -> None:
+        for w in self.workers:
+            w.validate()
+        if self.availability_check_interval_ms <= 0:
+            raise ConfigError("availability_check_interval_ms must be positive")
+
+
+@dataclass
+class SubgraphConfig:
+    """Partitioning knobs (reference: band/config.h:58-63)."""
+
+    minimum_subgraph_size: int = 7
+    subgraph_preparation_type: SubgraphPreparationType = (
+        SubgraphPreparationType.MERGE_UNIT_SUBGRAPH
+    )
+
+    def validate(self) -> None:
+        if self.minimum_subgraph_size < 1:
+            raise ConfigError("minimum_subgraph_size must be >= 1")
+
+
+@dataclass
+class MonitorConfig:
+    """Resource monitor knobs (reference: band/config.h:65-71)."""
+
+    enable: bool = False
+    monitor_interval_ms: int = 1000
+    log_path: str = ""
+
+    def validate(self) -> None:
+        if self.monitor_interval_ms <= 0:
+            raise ConfigError("monitor_interval_ms must be positive")
+
+
+@dataclass
+class RuntimeConfig:
+    """Top-level runtime config (reference: band/config.h:73-86)."""
+
+    profile: ProfileConfig = field(default_factory=ProfileConfig)
+    planner: PlannerConfig = field(default_factory=PlannerConfig)
+    worker: WorkerConfig = field(default_factory=WorkerConfig)
+    subgraph: SubgraphConfig = field(default_factory=SubgraphConfig)
+    monitor: MonitorConfig = field(default_factory=MonitorConfig)
+
+    def validate(self) -> None:
+        for sub in (self.profile, self.planner, self.worker, self.subgraph,
+                    self.monitor):
+            sub.validate()
+
+
+class RuntimeConfigBuilder:
+    """Fluent builder with validation (reference: band/config_builder.h:171-279).
+
+    >>> cfg = (RuntimeConfigBuilder()
+    ...        .add_scheduler(SchedulerType.ROUND_ROBIN)
+    ...        .add_worker(WorkerSpec(device=DeviceFlag.CPU, device_ids=(0,)))
+    ...        .build())
+    """
+
+    def __init__(self) -> None:
+        self._cfg = RuntimeConfig(planner=PlannerConfig(schedulers=[]))
+
+    # --- profile ---
+    def profile_online(self, online: bool) -> "RuntimeConfigBuilder":
+        self._cfg.profile.online = online
+        return self
+
+    def profile_warmups(self, n: int) -> "RuntimeConfigBuilder":
+        self._cfg.profile.num_warmups = n
+        return self
+
+    def profile_runs(self, n: int) -> "RuntimeConfigBuilder":
+        self._cfg.profile.num_runs = n
+        return self
+
+    def profile_data_path(self, p: str) -> "RuntimeConfigBuilder":
+        self._cfg.profile.profile_data_path = p
+        return self
+
+    def profile_smoothing_factor(self, a: float) -> "RuntimeConfigBuilder":
+        self._cfg.profile.smoothing_factor = a
+        return self
+
+    # --- planner ---
+    def add_scheduler(self, s: SchedulerType) -> "RuntimeConfigBuilder":
+        self._cfg.planner.schedulers.append(s)
+        return self
+
+    def schedule_window_size(self, n: int) -> "RuntimeConfigBuilder":
+        self._cfg.planner.schedule_window_size = n
+        return self
+
+    def planner_log_path(self, p: str) -> "RuntimeConfigBuilder":
+        self._cfg.planner.log_path = p
+        return self
+
+    # --- workers ---
+    def add_worker(self, w: WorkerSpec) -> "RuntimeConfigBuilder":
+        self._cfg.worker.workers.append(w)
+        return self
+
+    def availability_check_interval_ms(self, ms: int) -> "RuntimeConfigBuilder":
+        self._cfg.worker.availability_check_interval_ms = ms
+        return self
+
+    # --- subgraph ---
+    def minimum_subgraph_size(self, n: int) -> "RuntimeConfigBuilder":
+        self._cfg.subgraph.minimum_subgraph_size = n
+        return self
+
+    def subgraph_preparation_type(
+        self, t: SubgraphPreparationType
+    ) -> "RuntimeConfigBuilder":
+        self._cfg.subgraph.subgraph_preparation_type = t
+        return self
+
+    # --- monitor ---
+    def enable_monitor(self, interval_ms: int = 1000, log_path: str = "") -> (
+        "RuntimeConfigBuilder"
+    ):
+        self._cfg.monitor.enable = True
+        self._cfg.monitor.monitor_interval_ms = interval_ms
+        self._cfg.monitor.log_path = log_path
+        return self
+
+    def build(self) -> RuntimeConfig:
+        if not self._cfg.planner.schedulers:
+            self._cfg.planner.schedulers = [SchedulerType.FIXED_WORKER]
+        self._cfg.validate()
+        return self._cfg
+
+
+def _parse_worker(entry: Any) -> WorkerSpec:
+    if isinstance(entry, str):
+        return WorkerSpec(device=DeviceFlag(entry.lower()))
+    return WorkerSpec(
+        device=DeviceFlag(entry.get("device", "tpu").lower()),
+        device_ids=tuple(entry.get("device_ids", [0])),
+        mesh_shape=tuple(entry.get("mesh_shape", [])),
+        mesh_axes=tuple(entry.get("mesh_axes", [])),
+        dispatch_depth=entry.get("dispatch_depth", 2),
+    )
+
+
+def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
+    """Build a RuntimeConfig from a JSON-style dict.
+
+    Accepts the reference benchmark JSON schema shape (band/docs/config.md):
+    ``{"profile_smoothing_factor":…, "schedulers": […], "workers": […],
+    "minimum_subgraph_size":…, …}`` with either flat or nested keys.
+    """
+    b = RuntimeConfigBuilder()
+    prof = d.get("profile", d)
+    if "online" in prof:
+        b.profile_online(bool(prof["online"]))
+    if "num_warmups" in prof:
+        b.profile_warmups(int(prof["num_warmups"]))
+    if "num_runs" in prof:
+        b.profile_runs(int(prof["num_runs"]))
+    for key in ("profile_data_path", "profile_path"):
+        if key in prof:
+            b.profile_data_path(prof[key])
+    if "smoothing_factor" in prof:
+        b.profile_smoothing_factor(float(prof["smoothing_factor"]))
+    if "profile_smoothing_factor" in d:
+        b.profile_smoothing_factor(float(d["profile_smoothing_factor"]))
+
+    planner = d.get("planner", d)
+    for s in planner.get("schedulers", []):
+        b.add_scheduler(SchedulerType(s.lower()))
+    if "schedule_window_size" in planner:
+        b.schedule_window_size(int(planner["schedule_window_size"]))
+    if "log_path" in planner:
+        b.planner_log_path(planner["log_path"])
+
+    workers = d.get("workers", [])
+    for w in workers:
+        b.add_worker(_parse_worker(w))
+
+    sub = d.get("subgraph", d)
+    if "minimum_subgraph_size" in sub:
+        b.minimum_subgraph_size(int(sub["minimum_subgraph_size"]))
+    if "subgraph_preparation_type" in sub:
+        b.subgraph_preparation_type(
+            SubgraphPreparationType(sub["subgraph_preparation_type"].lower())
+        )
+
+    mon = d.get("resource_monitor", {})
+    if mon.get("enable"):
+        b.enable_monitor(
+            mon.get("monitor_interval_ms", 1000), mon.get("log_path", "")
+        )
+    return b.build()
+
+
+def config_from_json(path: str) -> RuntimeConfig:
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
+def config_hash(cfg: RuntimeConfig) -> str:
+    """Stable hash of scheduling-relevant config, used to key persisted
+    latency profiles (reference: band/latency_estimator.cc:185-195)."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "workers": [
+                (w.device.value, list(w.device_ids), list(w.mesh_shape))
+                for w in cfg.worker.workers
+            ],
+            "subgraph": (
+                cfg.subgraph.minimum_subgraph_size,
+                cfg.subgraph.subgraph_preparation_type.value,
+            ),
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
