@@ -1,0 +1,1309 @@
+"""JAX lowerings of TFLite builtin ops (quantized + float).
+
+Conv/matmul ops run as int8xint8->int32 contractions (the TPU MXU
+path) with zero-point corrections folded host-side into the bias at
+prepare time; requantization is bit-exact TFLite fixed-point by default
+(see ops/quant.py).  Elementwise/shape ops either run natively in the
+quantized domain or fall back to dequant -> float -> requant, matching
+what the reference's GPU/NNAPI delegates do for non-integer kernels.
+
+Reference parity: these lowerings replace the TFLite kernel library the
+reference delegates to (band/backend/tfl/model_executor.cc:249-255).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..errors import LoweringError
+from ..ir.graph import Graph, OpNode, QuantParams, TensorDef
+from . import quant as Q
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Lowering context
+# --------------------------------------------------------------------------
+
+class LowerCtx:
+    """State threaded through one subgraph trace."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        params: Dict[str, Any],
+        meta: Dict[str, Any],
+        exact: bool = True,
+    ):
+        self.graph = graph
+        self.params = params
+        self.meta = meta
+        self.env: Dict[int, Any] = {}
+        self.exact = exact
+
+    # runtime value of a tensor (activation or weight param)
+    def arr(self, tid: int):
+        if tid in self.env:
+            return self.env[tid]
+        td = self.graph.tensor(tid)
+        key = f"t{tid}"
+        if key in self.params:
+            return self.params[key]
+        if td.is_constant:
+            raise LoweringError(
+                f"constant tensor {tid} ({td.name}) not prepared as param"
+            )
+        raise LoweringError(f"tensor {tid} ({td.name}) undefined during trace")
+
+    def static(self, tid: int) -> np.ndarray:
+        td = self.graph.tensor(tid)
+        if not td.is_constant:
+            raise LoweringError(
+                f"tensor {tid} ({td.name}) must be a constant for this op"
+            )
+        return td.data
+
+    def qp(self, tid: int) -> Optional[QuantParams]:
+        return self.graph.tensor(tid).quant
+
+    def is_quantized(self, tid: int) -> bool:
+        td = self.graph.tensor(tid)
+        return td.quant is not None and td.dtype.kind in ("i", "u")
+
+    def set(self, tid: int, value) -> None:
+        self.env[tid] = value
+
+    def param(self, op: OpNode, name: str):
+        return self.params[f"op{op.index}/{name}"]
+
+    def smeta(self, op: OpNode, name: str):
+        return self.meta[f"op{op.index}/{name}"]
+
+
+# --------------------------------------------------------------------------
+# Shared helpers
+# --------------------------------------------------------------------------
+
+def _scalar_qp(qp: QuantParams) -> Tuple[float, int]:
+    return float(qp.scale[0]), int(qp.zero_point[0])
+
+
+def _to_int8_domain(x, zp: int) -> Tuple[Any, int]:
+    """Shift uint8 tensors into int8 so contractions hit the int8 MXU."""
+    if x.dtype == jnp.uint8:
+        x = lax.bitcast_convert_type(x ^ np.uint8(128), jnp.int8)
+        zp -= 128
+    return x, zp
+
+
+def _same_pads(in_size: int, k: int, stride: int, dilation: int) -> Tuple[int, int]:
+    eff_k = (k - 1) * dilation + 1
+    out = -(-in_size // stride)
+    total = max((out - 1) * stride + eff_k - in_size, 0)
+    before = total // 2
+    return before, total - before
+
+
+def _conv_pads(opts, in_h, in_w, kh, kw) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    if opts["padding"] == "SAME":
+        ph = _same_pads(in_h, kh, opts["stride_h"], opts.get("dilation_h", 1))
+        pw = _same_pads(in_w, kw, opts["stride_w"], opts.get("dilation_w", 1))
+        return ph, pw
+    return (0, 0), (0, 0)
+
+
+def as_float(ctx: LowerCtx, tid: int):
+    """Runtime value of tensor `tid` as float32 (dequantizing if needed)."""
+    x = ctx.arr(tid)
+    if ctx.is_quantized(tid):
+        s, zp = _scalar_qp(ctx.qp(tid))
+        return Q.dequantize(x, s, zp)
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+def store_real(ctx: LowerCtx, tid: int, val_f32) -> None:
+    """Store a float32 result, quantizing if the tensor is quantized."""
+    td = ctx.graph.tensor(tid)
+    if ctx.is_quantized(tid):
+        s, zp = _scalar_qp(td.quant)
+        ctx.set(tid, Q.quantize(val_f32, s, zp, td.dtype))
+    else:
+        ctx.set(tid, val_f32.astype(td.dtype))
+
+
+def _apply_float_activation(x, activation: str):
+    if activation == "NONE":
+        return x
+    if activation == "RELU":
+        return jnp.maximum(x, 0.0)
+    if activation == "RELU6":
+        return jnp.clip(x, 0.0, 6.0)
+    if activation == "RELU_N1_TO_1":
+        return jnp.clip(x, -1.0, 1.0)
+    if activation == "TANH":
+        return jnp.tanh(x)
+    raise LoweringError(f"unsupported activation {activation}")
+
+
+# --------------------------------------------------------------------------
+# CONV_2D
+# --------------------------------------------------------------------------
+
+def _prepare_conv_common(
+    graph: Graph,
+    op: OpNode,
+    w_td: TensorDef,
+    w_hwio: np.ndarray,
+    sum_axes: Tuple[int, ...],
+    k_taps: int,
+    exact: bool,
+) -> Dict[str, Any]:
+    """Shared quantized-conv prep: int8 weights + folded bias + multipliers.
+
+    acc_true = conv(x', w') - w_zp * S(x'_pad) - x_zp * sum(w') + k*x_zp*w_zp
+    The x_zp terms are static -> folded into bias.  w_hwio is the kernel
+    already in HWIO layout; sum_axes are the axes summed per out-channel.
+    """
+    g = graph
+    x_td = g.tensor(op.inputs[0])
+    out_td = g.tensor(op.outputs[0])
+    xs, xzp = _scalar_qp(x_td.quant)
+    os_, ozp = _scalar_qp(out_td.quant)
+    wq = w_td.quant
+    # shift into int8 domain
+    w_i = w_hwio.astype(np.int32)
+    wzp_arr = wq.zero_point.astype(np.int32)
+    if w_td.dtype == np.uint8:
+        w_i = w_i - 128
+        wzp_arr = wzp_arr - 128
+        xzp -= 128
+    w_i8 = w_i.astype(np.int8)
+    wzp = int(wzp_arr[0]) if wzp_arr.size == 1 else 0
+    if wzp_arr.size > 1 and np.any(wzp_arr != 0):
+        raise LoweringError("per-channel weights must have zero_point 0")
+
+    bias = np.zeros(w_hwio.shape[-1], np.int32)
+    if len(op.inputs) > 2 and op.inputs[2] >= 0:
+        bias = g.tensor(op.inputs[2]).data.astype(np.int32).copy()
+    w_sum = w_i.sum(axis=sum_axes).astype(np.int64)
+    bias_eff = (
+        bias.astype(np.int64) - xzp * w_sum + k_taps * xzp * wzp
+    ).astype(np.int32)
+
+    # TFLite multiplier precision semantics (bit-exactness matters):
+    # per-tensor: double(float32(s_x * s_w)) / double(s_out)
+    #   (GetQuantizedConvolutionMultipler does the product in float)
+    # per-channel: double(s_x) * double(s_w_i) / double(s_out)
+    if wq.scale.size == 1:
+        prod = np.float64(np.float32(np.float32(xs) * wq.scale[0]))
+        multipliers = np.array([prod / np.float64(os_)])
+    else:
+        multipliers = (
+            np.float64(xs) * wq.scale.astype(np.float64)
+        ) / np.float64(os_)
+    out = {
+        "w": w_i8,
+        "bias": bias_eff,
+        "x_zp": xzp,
+        "w_zp": wzp,
+    }
+    if exact:
+        qm, shift = Q.quantize_multipliers(multipliers)
+        out["qm"] = qm
+        out["shift"] = shift
+    else:
+        out["mult"] = multipliers.astype(np.float32)
+    act = op.options.get("activation", "NONE")
+    qmin, qmax = Q.activation_range(act, os_, ozp, out_td.dtype)
+    out["qmin"], out["qmax"], out["out_zp"] = qmin, qmax, ozp
+    # conv kernels requantize through ruy's pipeline (SRDHM + half-up
+    # rounding shift), the cpu_backend_gemm path in TFLite 2.9+
+    out["rounding"] = "ruy"
+    return out
+
+
+def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    w_td = graph.tensor(op.inputs[1])
+    x_td = graph.tensor(op.inputs[0])
+    if x_td.quant is None or x_td.dtype.kind == "f":
+        # float conv: just re-layout weights OHWI -> HWIO
+        w = np.transpose(w_td.data, (1, 2, 3, 0)).astype(np.float32)
+        d: Dict[str, Any] = {"w": w}
+        if len(op.inputs) > 2 and op.inputs[2] >= 0:
+            d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
+        return d
+    w_hwio = np.transpose(w_td.data, (1, 2, 3, 0))  # OHWI -> HWIO
+    kh, kw, ci, _ = w_hwio.shape
+    return _prepare_conv_common(
+        graph, op, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw * ci,
+        exact=exact,
+    )
+
+
+def _conv_requant(ctx: LowerCtx, op: OpNode, acc):
+    qmin = ctx.smeta(op, "qmin")
+    qmax = ctx.smeta(op, "qmax")
+    ozp = ctx.smeta(op, "out_zp")
+    out_td = ctx.graph.tensor(op.outputs[0])
+    if ctx.exact:
+        return Q.requantize_exact(
+            acc, ctx.param(op, "qm"), ctx.param(op, "shift"), ozp, qmin, qmax,
+            out_td.dtype, rounding=ctx.smeta(op, "rounding"),
+        )
+    return Q.requantize_fast(
+        acc, ctx.param(op, "mult"), ozp, qmin, qmax, out_td.dtype
+    )
+
+
+@register("CONV_2D", prepare=_prepare_conv2d)
+def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    x = ctx.arr(op.inputs[0])
+    w = ctx.param(op, "w")
+    opts = op.options
+    kh, kw = w.shape[0], w.shape[1]
+    ph, pw = _conv_pads(opts, x.shape[1], x.shape[2], kh, kw)
+    dil = (opts.get("dilation_h", 1), opts.get("dilation_w", 1))
+    strides = (opts["stride_h"], opts["stride_w"])
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    if not ctx.is_quantized(op.inputs[0]):
+        acc = lax.conv_general_dilated(
+            x, w, strides, (ph, pw), rhs_dilation=dil, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        if f"op{op.index}/bias" in ctx.params:
+            acc = acc + ctx.param(op, "bias")
+        out = _apply_float_activation(acc, opts.get("activation", "NONE"))
+        ctx.set(op.outputs[0], out.astype(g.tensor(op.outputs[0]).dtype))
+        return
+
+    xzp = ctx.smeta(op, "x_zp")
+    wzp = ctx.smeta(op, "w_zp")
+    x, _ = _to_int8_domain(x, 0)
+    # pad explicitly with the zero point so padded taps vanish in real space
+    x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
+                    constant_values=np.int8(xzp))
+    acc = lax.conv_general_dilated(
+        x_pad, w, strides, "VALID", rhs_dilation=dil, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    if wzp != 0:
+        ones = jnp.ones((kh, kw, x.shape[-1], 1), jnp.int8)
+        s = lax.conv_general_dilated(
+            x_pad, ones, strides, "VALID", rhs_dilation=dil,
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+        acc = acc - jnp.int32(wzp) * s
+    acc = acc + ctx.param(op, "bias")
+    ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
+
+
+# --------------------------------------------------------------------------
+# DEPTHWISE_CONV_2D
+# --------------------------------------------------------------------------
+
+def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    w_td = graph.tensor(op.inputs[1])
+    x_td = graph.tensor(op.inputs[0])
+    # TFLite layout [1, kh, kw, out_c]; lax wants HWIO [kh, kw, 1, out_c]
+    w_hwio = np.transpose(w_td.data, (1, 2, 0, 3))
+    if x_td.quant is None or x_td.dtype.kind == "f":
+        d: Dict[str, Any] = {"w": w_hwio.astype(np.float32)}
+        if len(op.inputs) > 2 and op.inputs[2] >= 0:
+            d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
+        return d
+    kh, kw = w_hwio.shape[0], w_hwio.shape[1]
+    return _prepare_conv_common(
+        graph, op, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw,
+        exact=exact,
+    )
+
+
+@register("DEPTHWISE_CONV_2D", prepare=_prepare_dwconv2d)
+def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    x = ctx.arr(op.inputs[0])
+    w = ctx.param(op, "w")
+    opts = op.options
+    kh, kw = w.shape[0], w.shape[1]
+    ci = x.shape[-1]
+    mult = w.shape[-1] // ci
+    ph, pw = _conv_pads(opts, x.shape[1], x.shape[2], kh, kw)
+    dil = (opts.get("dilation_h", 1), opts.get("dilation_w", 1))
+    strides = (opts["stride_h"], opts["stride_w"])
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    if not ctx.is_quantized(op.inputs[0]):
+        acc = lax.conv_general_dilated(
+            x, w, strides, (ph, pw), rhs_dilation=dil, dimension_numbers=dn,
+            feature_group_count=ci, preferred_element_type=jnp.float32,
+        )
+        if f"op{op.index}/bias" in ctx.params:
+            acc = acc + ctx.param(op, "bias")
+        out = _apply_float_activation(acc, opts.get("activation", "NONE"))
+        ctx.set(op.outputs[0], out.astype(g.tensor(op.outputs[0]).dtype))
+        return
+
+    xzp = ctx.smeta(op, "x_zp")
+    wzp = ctx.smeta(op, "w_zp")
+    x, _ = _to_int8_domain(x, 0)
+    x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
+                    constant_values=np.int8(xzp))
+    acc = lax.conv_general_dilated(
+        x_pad, w, strides, "VALID", rhs_dilation=dil, dimension_numbers=dn,
+        feature_group_count=ci, preferred_element_type=jnp.int32,
+    )
+    if wzp != 0:
+        # per-input-channel window sums via depthwise ones kernel
+        ones = jnp.ones((kh, kw, 1, ci), jnp.int8)
+        s = lax.conv_general_dilated(
+            x_pad, ones, strides, "VALID", rhs_dilation=dil,
+            dimension_numbers=dn, feature_group_count=ci,
+            preferred_element_type=jnp.int32,
+        )
+        if mult > 1:
+            s = jnp.repeat(s, mult, axis=-1)
+        acc = acc - jnp.int32(wzp) * s
+    acc = acc + ctx.param(op, "bias")
+    ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
+
+
+# --------------------------------------------------------------------------
+# FULLY_CONNECTED
+# --------------------------------------------------------------------------
+
+def _prepare_fc(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    w_td = graph.tensor(op.inputs[1])
+    x_td = graph.tensor(op.inputs[0])
+    w = w_td.data  # [out, in]
+    if x_td.quant is None or x_td.dtype.kind == "f":
+        d: Dict[str, Any] = {"w": w.astype(np.float32)}
+        if len(op.inputs) > 2 and op.inputs[2] >= 0:
+            d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
+        return d
+    return _prepare_conv_common(
+        graph, op, w_td, np.transpose(w, (1, 0)), sum_axes=(0,),
+        k_taps=w.shape[1], exact=exact,
+    )
+
+
+@register("FULLY_CONNECTED", prepare=_prepare_fc)
+def _fully_connected(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    x = ctx.arr(op.inputs[0])
+    w = ctx.param(op, "w")  # float: [out, in]; quant: [in, out]
+    out_td = g.tensor(op.outputs[0])
+
+    if not ctx.is_quantized(op.inputs[0]):
+        x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
+        acc = jnp.dot(x2, w.T, preferred_element_type=jnp.float32)
+        if f"op{op.index}/bias" in ctx.params:
+            acc = acc + ctx.param(op, "bias")
+        out = _apply_float_activation(acc, op.options.get("activation", "NONE"))
+        ctx.set(op.outputs[0], out.reshape(out_td.shape).astype(out_td.dtype))
+        return
+
+    xzp = ctx.smeta(op, "x_zp")
+    wzp = ctx.smeta(op, "w_zp")
+    x, _ = _to_int8_domain(x, 0)
+    x2 = x.reshape(-1, x.shape[-1])
+    acc = jnp.dot(x2, w, preferred_element_type=jnp.int32)  # [batch, out]
+    if wzp != 0:
+        # -wzp * sum(raw x'); the xzp cross-terms are folded into bias_eff
+        row_sum = x2.astype(jnp.int32).sum(axis=1, keepdims=True)
+        acc = acc - jnp.int32(wzp) * row_sum
+    acc = acc + ctx.param(op, "bias")
+    out = _conv_requant(ctx, op, acc)
+    ctx.set(op.outputs[0], out.reshape(out_td.shape))
+
+
+# --------------------------------------------------------------------------
+# Elementwise binary ops (quantized-exact ADD/SUB, MUL; float fallback DIV)
+# --------------------------------------------------------------------------
+
+def _prepare_addsub(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    t1, t2 = graph.tensor(op.inputs[0]), graph.tensor(op.inputs[1])
+    out_td = graph.tensor(op.outputs[0])
+    if t1.quant is None or t1.dtype.kind == "f":
+        d: Dict[str, Any] = {}
+        for tid in op.inputs:
+            td = graph.tensor(tid)
+            if td.is_constant:
+                d[f"c{tid}"] = td.data
+        return d
+    s1, zp1 = _scalar_qp(t1.quant)
+    s2, zp2 = _scalar_qp(t2.quant)
+    so, zpo = _scalar_qp(out_td.quant)
+    left_shift = 20
+    twice_max = 2.0 * max(s1, s2)
+    qm1, sh1 = Q.quantize_multiplier(s1 / twice_max)
+    qm2, sh2 = Q.quantize_multiplier(s2 / twice_max)
+    qmo, sho = Q.quantize_multiplier(twice_max / ((1 << left_shift) * so))
+    act = op.options.get("activation", "NONE")
+    qmin, qmax = Q.activation_range(act, so, zpo, out_td.dtype)
+    d = {
+        "zp1": zp1, "zp2": zp2, "zpo": zpo,
+        "qm1": np.int32(qm1), "sh1": sh1,
+        "qm2": np.int32(qm2), "sh2": sh2,
+        "qmo": np.int32(qmo), "sho": sho,
+        "left_shift": left_shift, "qmin": qmin, "qmax": qmax,
+    }
+    for tid in op.inputs:
+        td = graph.tensor(tid)
+        if td.is_constant:
+            d[f"c{tid}"] = td.data
+    return d
+
+
+def _binary_inputs(ctx: LowerCtx, op: OpNode):
+    vals = []
+    for tid in op.inputs[:2]:
+        key = f"op{op.index}/c{tid}"
+        vals.append(ctx.params[key] if key in ctx.params else ctx.arr(tid))
+    return vals
+
+
+def _addsub(ctx: LowerCtx, op: OpNode, sign: int) -> None:
+    g = ctx.graph
+    out_td = g.tensor(op.outputs[0])
+    x1, x2 = _binary_inputs(ctx, op)
+    if not ctx.is_quantized(op.outputs[0]):
+        out = x1 + sign * x2 if out_td.dtype.kind != "f" else (
+            _apply_float_activation(
+                x1.astype(jnp.float32) + sign * x2.astype(jnp.float32),
+                op.options.get("activation", "NONE"),
+            )
+        )
+        ctx.set(op.outputs[0], out.astype(out_td.dtype))
+        return
+    ls = ctx.smeta(op, "left_shift")
+    v1 = (x1.astype(jnp.int32) - ctx.smeta(op, "zp1")) << ls
+    v2 = (x2.astype(jnp.int32) - ctx.smeta(op, "zp2")) << ls
+    s1 = Q.multiply_by_quantized_multiplier(
+        v1, ctx.smeta(op, "qm1"), ctx.smeta(op, "sh1")
+    )
+    s2 = Q.multiply_by_quantized_multiplier(
+        v2, ctx.smeta(op, "qm2"), ctx.smeta(op, "sh2")
+    )
+    raw = s1 + sign * s2
+    out = Q.multiply_by_quantized_multiplier(
+        raw, ctx.smeta(op, "qmo"), ctx.smeta(op, "sho")
+    ) + ctx.smeta(op, "zpo")
+    out = jnp.clip(out, ctx.smeta(op, "qmin"), ctx.smeta(op, "qmax"))
+    ctx.set(op.outputs[0], out.astype(out_td.dtype))
+
+
+@register("ADD", prepare=_prepare_addsub)
+def _add(ctx: LowerCtx, op: OpNode) -> None:
+    _addsub(ctx, op, +1)
+
+
+@register("SUB", prepare=_prepare_addsub)
+def _sub(ctx: LowerCtx, op: OpNode) -> None:
+    _addsub(ctx, op, -1)
+
+
+def _prepare_mul(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    t1, t2 = graph.tensor(op.inputs[0]), graph.tensor(op.inputs[1])
+    out_td = graph.tensor(op.outputs[0])
+    d: Dict[str, Any] = {}
+    for tid in op.inputs:
+        td = graph.tensor(tid)
+        if td.is_constant:
+            d[f"c{tid}"] = td.data
+    if t1.quant is None or t1.dtype.kind == "f" or out_td.quant is None:
+        return d
+    s1, zp1 = _scalar_qp(t1.quant)
+    s2, zp2 = _scalar_qp(t2.quant)
+    so, zpo = _scalar_qp(out_td.quant)
+    # TFLite computes the MUL multiplier fully in float32 before widening
+    qm, sh = Q.quantize_multiplier(
+        float(np.float32(np.float32(s1) * np.float32(s2) / np.float32(so)))
+    )
+    act = op.options.get("activation", "NONE")
+    qmin, qmax = Q.activation_range(act, so, zpo, out_td.dtype)
+    d.update({"zp1": zp1, "zp2": zp2, "zpo": zpo, "qm": np.int32(qm),
+              "sh": sh, "qmin": qmin, "qmax": qmax})
+    return d
+
+
+@register("MUL", prepare=_prepare_mul)
+def _mul(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    out_td = g.tensor(op.outputs[0])
+    x1, x2 = _binary_inputs(ctx, op)
+    if ctx.is_quantized(op.outputs[0]) and f"op{op.index}/qm" in ctx.meta:
+        acc = (x1.astype(jnp.int32) - ctx.smeta(op, "zp1")) * (
+            x2.astype(jnp.int32) - ctx.smeta(op, "zp2")
+        )
+        out = Q.multiply_by_quantized_multiplier(
+            acc, ctx.smeta(op, "qm"), ctx.smeta(op, "sh")
+        ) + ctx.smeta(op, "zpo")
+        out = jnp.clip(out, ctx.smeta(op, "qmin"), ctx.smeta(op, "qmax"))
+        ctx.set(op.outputs[0], out.astype(out_td.dtype))
+        return
+    f1 = x1.astype(jnp.float32)
+    f2 = x2.astype(jnp.float32)
+    out = _apply_float_activation(f1 * f2, op.options.get("activation", "NONE"))
+    store_real(ctx, op.outputs[0], out)
+
+
+@register("DIV")
+def _div(ctx: LowerCtx, op: OpNode) -> None:
+    f1 = as_float(ctx, op.inputs[0])
+    f2 = as_float(ctx, op.inputs[1])
+    out = _apply_float_activation(f1 / f2, op.options.get("activation", "NONE"))
+    store_real(ctx, op.outputs[0], out)
+
+
+# --------------------------------------------------------------------------
+# Pooling
+# --------------------------------------------------------------------------
+
+def _pool_prep(ctx: LowerCtx, op: OpNode):
+    x = ctx.arr(op.inputs[0])
+    o = op.options
+    ph, pw = (
+        (_same_pads(x.shape[1], o["filter_h"], o["stride_h"], 1),
+         _same_pads(x.shape[2], o["filter_w"], o["stride_w"], 1))
+        if o["padding"] == "SAME"
+        else ((0, 0), (0, 0))
+    )
+    window = (1, o["filter_h"], o["filter_w"], 1)
+    strides = (1, o["stride_h"], o["stride_w"], 1)
+    pads = ((0, 0), ph, pw, (0, 0))
+    return x, window, strides, pads
+
+
+@register("MAX_POOL_2D")
+def _max_pool(ctx: LowerCtx, op: OpNode) -> None:
+    x, window, strides, pads = _pool_prep(ctx, op)
+    td = ctx.graph.tensor(op.outputs[0])
+    init = (
+        np.iinfo(x.dtype).min if np.dtype(x.dtype).kind in "iu"
+        else -np.inf
+    )
+    out = lax.reduce_window(x, np.asarray(init, x.dtype), lax.max, window,
+                            strides, pads)
+    if td.dtype.kind == "f":
+        out = _apply_float_activation(out, op.options.get("activation", "NONE"))
+    ctx.set(op.outputs[0], out.astype(td.dtype))
+
+
+@register("AVERAGE_POOL_2D")
+def _avg_pool(ctx: LowerCtx, op: OpNode) -> None:
+    x, window, strides, pads = _pool_prep(ctx, op)
+    td = ctx.graph.tensor(op.outputs[0])
+    if ctx.is_quantized(op.inputs[0]):
+        xi = x.astype(jnp.int32)
+        acc = lax.reduce_window(xi, jnp.int32(0), lax.add, window, strides,
+                                pads)
+        ones = jnp.ones(x.shape[1:3], jnp.int32)[None, :, :, None]
+        count = lax.reduce_window(ones, jnp.int32(0), lax.add, window,
+                                  strides, pads)
+        # round-to-nearest, ties away from zero, C-style trunc division
+        pos = (acc + count // 2) // count
+        neg = -((-acc + count // 2) // count)
+        out = jnp.where(acc >= 0, pos, neg)
+        qmin, qmax = Q.quantized_range(td.dtype)
+        # fused activation clamps in the quantized domain
+        s, zp = _scalar_qp(td.quant)
+        aqmin, aqmax = Q.activation_range(
+            op.options.get("activation", "NONE"), s, zp, td.dtype
+        )
+        out = jnp.clip(out, max(qmin, aqmin), min(qmax, aqmax))
+        ctx.set(op.outputs[0], out.astype(td.dtype))
+        return
+    acc = lax.reduce_window(x, jnp.float32(0), lax.add, window, strides, pads)
+    ones = jnp.ones(x.shape[1:3], jnp.float32)[None, :, :, None]
+    count = lax.reduce_window(ones, jnp.float32(0), lax.add, window, strides,
+                              pads)
+    out = _apply_float_activation(acc / count,
+                                  op.options.get("activation", "NONE"))
+    ctx.set(op.outputs[0], out.astype(td.dtype))
+
+
+# --------------------------------------------------------------------------
+# Shape / data-movement ops
+# --------------------------------------------------------------------------
+
+@register("RESHAPE", static_inputs=(1,))
+def _reshape(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    out_shape = ctx.graph.tensor(op.outputs[0]).shape
+    ctx.set(op.outputs[0], x.reshape(out_shape))
+
+
+@register("SQUEEZE")
+def _squeeze(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    ctx.set(op.outputs[0], x.reshape(ctx.graph.tensor(op.outputs[0]).shape))
+
+
+@register("EXPAND_DIMS", static_inputs=(1,))
+def _expand_dims(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    ctx.set(op.outputs[0], x.reshape(ctx.graph.tensor(op.outputs[0]).shape))
+
+
+@register("TRANSPOSE", static_inputs=(1,))
+def _transpose(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    perm = [int(v) for v in ctx.static(op.inputs[1])]
+    ctx.set(op.outputs[0], jnp.transpose(x, perm))
+
+
+@register("CONCATENATION")
+def _concat(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    out_td = g.tensor(op.outputs[0])
+    axis = op.options.get("axis", 0)
+    parts = []
+    out_q = out_td.quant
+    for tid in op.inputs:
+        td = g.tensor(tid)
+        v = ctx.arr(tid)
+        if (
+            out_q is not None
+            and ctx.is_quantized(tid)
+            and (
+                float(td.quant.scale[0]) != float(out_q.scale[0])
+                or int(td.quant.zero_point[0]) != int(out_q.zero_point[0])
+            )
+        ):
+            # exact TFLite concat requant: float32 scale/bias + ties-away round
+            s_i, zp_i = _scalar_qp(td.quant)
+            s_o, zp_o = _scalar_qp(out_q)
+            scale = np.float32(np.float32(s_i) * np.float32(1.0 / s_o))
+            bias = np.float32(-zp_i * scale)
+            val = Q.round_ties_away(v.astype(jnp.float32) * scale + bias)
+            qmin, qmax = Q.quantized_range(out_td.dtype)
+            v = jnp.clip(val.astype(jnp.int32) + zp_o, qmin, qmax).astype(
+                out_td.dtype
+            )
+        parts.append(v)
+    ctx.set(op.outputs[0], jnp.concatenate(parts, axis=axis))
+
+
+@register("PAD", static_inputs=(1,))
+def _pad(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    pads = [tuple(int(v) for v in row) for row in ctx.static(op.inputs[1])]
+    td = ctx.graph.tensor(op.inputs[0])
+    fill = 0
+    if ctx.is_quantized(op.inputs[0]):
+        fill = int(td.quant.zero_point[0])
+    ctx.set(op.outputs[0], jnp.pad(x, pads,
+                                   constant_values=np.asarray(fill, x.dtype)))
+
+
+@register("PADV2", static_inputs=(1,))
+def _padv2(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    pads = [tuple(int(v) for v in row) for row in ctx.static(op.inputs[1])]
+    fill = ctx.static(op.inputs[2]).reshape(())
+    ctx.set(op.outputs[0], jnp.pad(x, pads,
+                                   constant_values=np.asarray(fill, x.dtype)))
+
+
+@register("MIRROR_PAD", static_inputs=(1,))
+def _mirror_pad(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    pads = [tuple(int(v) for v in row) for row in ctx.static(op.inputs[1])]
+    mode = "reflect" if op.options.get("mode", 0) == 0 else "symmetric"
+    ctx.set(op.outputs[0], jnp.pad(x, pads, mode=mode))
+
+
+@register("STRIDED_SLICE", static_inputs=(1, 2, 3))
+def _strided_slice(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    begin = ctx.static(op.inputs[1]).astype(np.int64)
+    end = ctx.static(op.inputs[2]).astype(np.int64)
+    strides = ctx.static(op.inputs[3]).astype(np.int64)
+    o = op.options
+    idx = []
+    for d in range(len(begin)):
+        b = None if (o.get("begin_mask", 0) >> d) & 1 else int(begin[d])
+        e = None if (o.get("end_mask", 0) >> d) & 1 else int(end[d])
+        s = int(strides[d])
+        if (o.get("shrink_axis_mask", 0) >> d) & 1:
+            idx.append(int(begin[d]))
+        else:
+            idx.append(slice(b, e, s))
+    out = x[tuple(idx)]
+    ctx.set(op.outputs[0], out.reshape(ctx.graph.tensor(op.outputs[0]).shape))
+
+
+@register("SLICE", static_inputs=(1, 2))
+def _slice(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    begin = [int(v) for v in ctx.static(op.inputs[1])]
+    size = [int(v) for v in ctx.static(op.inputs[2])]
+    size = [x.shape[d] - begin[d] if s == -1 else s for d, s in enumerate(size)]
+    ctx.set(op.outputs[0], lax.slice(x, begin,
+                                     [b + s for b, s in zip(begin, size)]))
+
+
+@register("SPLIT", static_inputs=(0,))
+def _split(ctx: LowerCtx, op: OpNode) -> None:
+    axis = int(ctx.static(op.inputs[0]).reshape(()))
+    x = ctx.arr(op.inputs[1])
+    parts = jnp.split(x, len(op.outputs), axis=axis)
+    for tid, part in zip(op.outputs, parts):
+        ctx.set(tid, part)
+
+
+@register("SPLIT_V", static_inputs=(1, 2))
+def _split_v(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    sizes = [int(v) for v in ctx.static(op.inputs[1])]
+    axis = int(ctx.static(op.inputs[2]).reshape(()))
+    offsets = np.cumsum([0] + sizes)
+    for i, tid in enumerate(op.outputs):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(int(offsets[i]), int(offsets[i + 1]))
+        ctx.set(tid, x[tuple(idx)])
+
+
+@register("PACK")
+def _pack(ctx: LowerCtx, op: OpNode) -> None:
+    vals = [ctx.arr(t) for t in op.inputs]
+    ctx.set(op.outputs[0], jnp.stack(vals, axis=op.options.get("axis", 0)))
+
+
+@register("UNPACK")
+def _unpack(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    axis = op.options.get("axis", 0)
+    parts = jnp.split(x, x.shape[axis], axis=axis)
+    for tid, part in zip(op.outputs, parts):
+        ctx.set(tid, jnp.squeeze(part, axis=axis))
+
+
+@register("GATHER")
+def _gather(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    td = ctx.graph.tensor(op.inputs[1])
+    indices = (
+        jnp.asarray(td.data) if td.is_constant else ctx.arr(op.inputs[1])
+    )
+    ctx.set(op.outputs[0],
+            jnp.take(x, indices, axis=op.options.get("axis", 0)))
+
+
+@register("SHAPE")
+def _shape(ctx: LowerCtx, op: OpNode) -> None:
+    x_shape = ctx.graph.tensor(op.inputs[0]).shape
+    dt = ctx.graph.tensor(op.outputs[0]).dtype
+    ctx.set(op.outputs[0], jnp.asarray(np.asarray(x_shape, dt)))
+
+
+@register("CAST")
+def _cast(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    ctx.set(op.outputs[0], x.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("ARG_MAX", static_inputs=(1,))
+def _arg_max(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    axis = int(ctx.static(op.inputs[1]).reshape(()))
+    dt = ctx.graph.tensor(op.outputs[0]).dtype
+    ctx.set(op.outputs[0], jnp.argmax(x, axis=axis).astype(dt))
+
+
+@register("SPACE_TO_DEPTH")
+def _space_to_depth(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    b = op.options["block_size"]
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // b, b, w // b, b, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    ctx.set(op.outputs[0], x.reshape(n, h // b, w // b, b * b * c))
+
+
+@register("DEPTH_TO_SPACE")
+def _depth_to_space(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    b = op.options.get("block_size", 2)
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, b, b, c // (b * b))
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    ctx.set(op.outputs[0], x.reshape(n, h * b, w * b, c // (b * b)))
+
+
+# --------------------------------------------------------------------------
+# Quantize / dequantize / requantize
+# --------------------------------------------------------------------------
+
+def _prepare_quantize(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    in_td = graph.tensor(op.inputs[0])
+    out_td = graph.tensor(op.outputs[0])
+    if in_td.quant is None or in_td.dtype.kind == "f":
+        return {}
+    s_i, _ = _scalar_qp(in_td.quant)
+    s_o, _ = _scalar_qp(out_td.quant)
+    qm, sh = Q.quantize_multiplier(np.float64(s_i) / np.float64(s_o))
+    return {"qm": np.int32(qm), "sh": sh}
+
+
+@register("QUANTIZE", prepare=_prepare_quantize)
+def _quantize_op(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    out_td = g.tensor(op.outputs[0])
+    s_o, zp_o = _scalar_qp(out_td.quant)
+    x = ctx.arr(op.inputs[0])
+    if ctx.is_quantized(op.inputs[0]):
+        # exact TFLite Requantize: MBQM(q - zp_in) + zp_out, clamped
+        _, zp_i = _scalar_qp(g.tensor(op.inputs[0]).quant)
+        acc = x.astype(jnp.int32) - jnp.int32(zp_i)
+        out = Q.multiply_by_quantized_multiplier(
+            acc, ctx.smeta(op, "qm"), ctx.smeta(op, "sh"), rounding="ruy"
+        ) + jnp.int32(zp_o)
+        qmin, qmax = Q.quantized_range(out_td.dtype)
+        ctx.set(op.outputs[0], jnp.clip(out, qmin, qmax).astype(out_td.dtype))
+        return
+    ctx.set(op.outputs[0], Q.quantize(x, s_o, zp_o, out_td.dtype))
+
+
+@register("DEQUANTIZE")
+def _dequantize_op(ctx: LowerCtx, op: OpNode) -> None:
+    td = ctx.graph.tensor(op.inputs[0])
+    key = f"t{op.inputs[0]}"
+    x = ctx.params[key] if (td.is_constant and key in ctx.params) else ctx.arr(
+        op.inputs[0]
+    )
+    if td.quant is not None and td.quant.per_channel:
+        # per-channel constant dequant (e.g. magenta style weights)
+        shape = [1] * len(td.shape)
+        shape[td.quant.quantized_dimension] = -1
+        s = jnp.asarray(td.quant.scale).reshape(shape)
+        zp = jnp.asarray(td.quant.zero_point).reshape(shape)
+        ctx.set(op.outputs[0],
+                (x.astype(jnp.int32) - zp).astype(jnp.float32) * s)
+        return
+    s, zp = _scalar_qp(td.quant)
+    ctx.set(op.outputs[0], Q.dequantize(x, s, zp))
+
+
+# --------------------------------------------------------------------------
+# Activations & unary float ops
+# --------------------------------------------------------------------------
+
+def _prepare_relu(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    in_td = graph.tensor(op.inputs[0])
+    out_td = graph.tensor(op.outputs[0])
+    if in_td.quant is None or in_td.dtype.kind == "f":
+        return {}
+    s_i, _ = _scalar_qp(in_td.quant)
+    s_o, _ = _scalar_qp(out_td.quant)
+    qm, sh = Q.quantize_multiplier(np.float64(s_i) / np.float64(s_o))
+    return {"qm": np.int32(qm), "sh": sh}
+
+
+def _quantized_relu(ctx: LowerCtx, op: OpNode, act: str) -> None:
+    """TFLite ReluQuantized: rescale input to output params, then clamp."""
+    g = ctx.graph
+    td = g.tensor(op.outputs[0])
+    x = ctx.arr(op.inputs[0])
+    _, zp_i = _scalar_qp(g.tensor(op.inputs[0]).quant)
+    s_o, zp_o = _scalar_qp(td.quant)
+    val = Q.multiply_by_quantized_multiplier(
+        x.astype(jnp.int32) - jnp.int32(zp_i), ctx.smeta(op, "qm"),
+        ctx.smeta(op, "sh"), rounding="single",
+    ) + jnp.int32(zp_o)
+    qmin, qmax = Q.activation_range(act, s_o, zp_o, td.dtype)
+    ctx.set(op.outputs[0], jnp.clip(val, qmin, qmax).astype(td.dtype))
+
+
+@register("RELU", prepare=_prepare_relu)
+def _relu(ctx: LowerCtx, op: OpNode) -> None:
+    if ctx.is_quantized(op.inputs[0]):
+        _quantized_relu(ctx, op, "RELU")
+    else:
+        ctx.set(op.outputs[0], jnp.maximum(ctx.arr(op.inputs[0]), 0.0))
+
+
+@register("RELU6", prepare=_prepare_relu)
+def _relu6(ctx: LowerCtx, op: OpNode) -> None:
+    if ctx.is_quantized(op.inputs[0]):
+        _quantized_relu(ctx, op, "RELU6")
+    else:
+        ctx.set(op.outputs[0], jnp.clip(ctx.arr(op.inputs[0]), 0.0, 6.0))
+
+
+def _float_unary(fn):
+    def lower(ctx: LowerCtx, op: OpNode) -> None:
+        store_real(ctx, op.outputs[0], fn(as_float(ctx, op.inputs[0])))
+
+    return lower
+
+
+for _name, _fn in {
+    "LOGISTIC": jax.nn.sigmoid,
+    "TANH": jnp.tanh,
+    "EXP": jnp.exp,
+    "LOG": jnp.log,
+    "SQRT": jnp.sqrt,
+    "RSQRT": lax.rsqrt,
+    "SQUARE": jnp.square,
+    "ABS": jnp.abs,
+    "NEG": jnp.negative,
+    "SIN": jnp.sin,
+    "COS": jnp.cos,
+    "FLOOR": jnp.floor,
+    "CEIL": jnp.ceil,
+    "ROUND": jnp.round,
+    "ELU": jax.nn.elu,
+    "GELU": jax.nn.gelu,
+    "HARD_SWISH": jax.nn.hard_swish,
+}.items():
+    register(_name)(_float_unary(_fn))
+
+
+@register("LEAKY_RELU")
+def _leaky_relu(ctx: LowerCtx, op: OpNode) -> None:
+    alpha = op.options.get("alpha", 0.0)
+    x = as_float(ctx, op.inputs[0])
+    store_real(ctx, op.outputs[0], jnp.where(x >= 0, x, alpha * x))
+
+
+@register("PRELU")
+def _prelu(ctx: LowerCtx, op: OpNode) -> None:
+    x = as_float(ctx, op.inputs[0])
+    td = ctx.graph.tensor(op.inputs[1])
+    if td.is_constant:
+        alpha = td.data.astype(np.float32)
+        if td.quant is not None and td.dtype.kind in "iu":
+            alpha = (td.data.astype(np.float32)
+                     - td.quant.zero_point.astype(np.float32)) * td.quant.scale
+        alpha = jnp.asarray(alpha)
+    else:
+        alpha = as_float(ctx, op.inputs[1])
+    store_real(ctx, op.outputs[0], jnp.where(x >= 0, x, alpha * x))
+
+
+@register("SOFTMAX")
+def _softmax(ctx: LowerCtx, op: OpNode) -> None:
+    beta = op.options.get("beta", 1.0)
+    x = as_float(ctx, op.inputs[0])
+    store_real(ctx, op.outputs[0], jax.nn.softmax(beta * x, axis=-1))
+
+
+@register("LOG_SOFTMAX")
+def _log_softmax(ctx: LowerCtx, op: OpNode) -> None:
+    x = as_float(ctx, op.inputs[0])
+    store_real(ctx, op.outputs[0], jax.nn.log_softmax(x, axis=-1))
+
+
+@register("L2_NORMALIZATION")
+def _l2_norm(ctx: LowerCtx, op: OpNode) -> None:
+    x = as_float(ctx, op.inputs[0])
+    norm = lax.rsqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-6)
+    store_real(ctx, op.outputs[0], x * norm)
+
+
+@register("SQUARED_DIFFERENCE")
+def _squared_difference(ctx: LowerCtx, op: OpNode) -> None:
+    a = as_float(ctx, op.inputs[0])
+    b = as_float(ctx, op.inputs[1])
+    store_real(ctx, op.outputs[0], jnp.square(a - b))
+
+
+@register("POW")
+def _pow(ctx: LowerCtx, op: OpNode) -> None:
+    a = as_float(ctx, op.inputs[0])
+    b = as_float(ctx, op.inputs[1])
+    store_real(ctx, op.outputs[0], jnp.power(a, b))
+
+
+def _minmax(fn):
+    def lower(ctx: LowerCtx, op: OpNode) -> None:
+        g = ctx.graph
+        t1, t2 = g.tensor(op.inputs[0]), g.tensor(op.inputs[1])
+        out_td = g.tensor(op.outputs[0])
+        same_q = (
+            t1.quant is not None
+            and t2.quant is not None
+            and out_td.quant is not None
+            and float(t1.quant.scale[0]) == float(out_td.quant.scale[0])
+            and int(t1.quant.zero_point[0]) == int(out_td.quant.zero_point[0])
+            and float(t2.quant.scale[0]) == float(out_td.quant.scale[0])
+        )
+        x1, x2 = ctx.arr(op.inputs[0]), ctx.arr(op.inputs[1])
+        if same_q or out_td.quant is None:
+            ctx.set(op.outputs[0], fn(x1, x2).astype(out_td.dtype))
+        else:
+            store_real(ctx, op.outputs[0],
+                       fn(as_float(ctx, op.inputs[0]),
+                          as_float(ctx, op.inputs[1])))
+
+    return lower
+
+
+register("MAXIMUM")(_minmax(jnp.maximum))
+register("MINIMUM")(_minmax(jnp.minimum))
+
+
+# --------------------------------------------------------------------------
+# Reductions
+# --------------------------------------------------------------------------
+
+def _prepare_mean(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    in_td = graph.tensor(op.inputs[0])
+    out_td = graph.tensor(op.outputs[0])
+    if in_td.quant is None or in_td.dtype.kind == "f":
+        return {}
+    axes = tuple(int(v) for v in np.ravel(graph.tensor(op.inputs[1]).data))
+    num = 1
+    for a in axes:
+        num *= in_td.shape[a]
+    s_i, zp_i = _scalar_qp(in_td.quant)
+    s_o, zp_o = _scalar_qp(out_td.quant)
+    qm, sh = Q.quantize_multiplier(
+        float(np.float64(s_i) / (np.float64(s_o) * num))
+    )
+    # host-side MBQM of the zero-point mass (single-rounding semantics)
+    t = 31 - sh
+    zp_term = (zp_i * num * qm + (1 << (t - 1))) >> t
+    return {"qm": np.int32(qm), "sh": sh, "bias": int(zp_o - zp_term)}
+
+
+@register("MEAN", prepare=_prepare_mean, static_inputs=(1,))
+def _mean(ctx: LowerCtx, op: OpNode) -> None:
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    out_td = ctx.graph.tensor(op.outputs[0])
+    keep_dims = len(out_td.shape) == len(ctx.graph.tensor(op.inputs[0]).shape)
+    if ctx.is_quantized(op.inputs[0]):
+        # integer mean: MBQM(sum) - MBQM(zp_in*num) + zp_out (TFLite exact)
+        x = ctx.arr(op.inputs[0])
+        acc = x.astype(jnp.int32).sum(axis=axes, keepdims=keep_dims)
+        out = Q.multiply_by_quantized_multiplier(
+            acc, ctx.smeta(op, "qm"), ctx.smeta(op, "sh"), rounding="single"
+        ) + jnp.int32(ctx.smeta(op, "bias"))
+        qmin, qmax = Q.quantized_range(out_td.dtype)
+        ctx.set(op.outputs[0], jnp.clip(out, qmin, qmax).astype(out_td.dtype))
+        return
+    x = as_float(ctx, op.inputs[0])
+    store_real(ctx, op.outputs[0], jnp.mean(x, axis=axes, keepdims=keep_dims))
+
+
+@register("SUM", static_inputs=(1,))
+def _sum(ctx: LowerCtx, op: OpNode) -> None:
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    keep_dims = op.options.get("keep_dims", False)
+    x = as_float(ctx, op.inputs[0])
+    store_real(ctx, op.outputs[0], jnp.sum(x, axis=axes, keepdims=keep_dims))
+
+
+@register("REDUCE_MAX", static_inputs=(1,))
+def _reduce_max(ctx: LowerCtx, op: OpNode) -> None:
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    keep_dims = op.options.get("keep_dims", False)
+    x = ctx.arr(op.inputs[0])
+    out = jnp.max(x, axis=axes, keepdims=keep_dims)
+    ctx.set(op.outputs[0], out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+# --------------------------------------------------------------------------
+# Resize
+# --------------------------------------------------------------------------
+
+def _resize_indices(in_size: int, out_size: int, align_corners: bool,
+                    half_pixel: bool, nearest: bool) -> np.ndarray:
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        scale = (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+    if half_pixel:
+        src = (i + 0.5) * scale - (0.5 if not nearest else 0.0)
+        if nearest:
+            src = (i + 0.5) * scale
+    else:
+        src = i * scale
+    return src
+
+
+@register("RESIZE_NEAREST_NEIGHBOR", static_inputs=(1,))
+def _resize_nearest(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    out_h, out_w = [int(v) for v in ctx.static(op.inputs[1])]
+    ac = op.options.get("align_corners", False)
+    hp = op.options.get("half_pixel_centers", False)
+
+    def idx(in_size, out_size):
+        src = _resize_indices(in_size, out_size, ac, hp, nearest=True)
+        if ac:
+            sel = np.round(src)
+        else:
+            sel = np.floor(src)
+        return np.clip(sel.astype(np.int64), 0, in_size - 1)
+
+    hi = idx(x.shape[1], out_h)
+    wi = idx(x.shape[2], out_w)
+    out = jnp.take(jnp.take(x, jnp.asarray(hi), axis=1), jnp.asarray(wi),
+                   axis=2)
+    ctx.set(op.outputs[0], out)
+
+
+@register("RESIZE_BILINEAR", static_inputs=(1,))
+def _resize_bilinear(ctx: LowerCtx, op: OpNode) -> None:
+    td_out = ctx.graph.tensor(op.outputs[0])
+    x = as_float(ctx, op.inputs[0])
+    out_h, out_w = [int(v) for v in ctx.static(op.inputs[1])]
+    ac = op.options.get("align_corners", False)
+    hp = op.options.get("half_pixel_centers", False)
+
+    def lerp_axis(v, in_size, out_size, axis):
+        src = _resize_indices(in_size, out_size, ac, hp, nearest=False)
+        lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+        hi = np.clip(lo + 1, 0, in_size - 1)
+        frac = np.clip(src - lo, 0.0, 1.0).astype(np.float32)
+        shape = [1] * v.ndim
+        shape[axis] = out_size
+        f = jnp.asarray(frac).reshape(shape)
+        vlo = jnp.take(v, jnp.asarray(lo), axis=axis)
+        vhi = jnp.take(v, jnp.asarray(hi), axis=axis)
+        return vlo + (vhi - vlo) * f
+
+    out = lerp_axis(x, x.shape[1], out_h, axis=1)
+    out = lerp_axis(out, out.shape[2], out_w, axis=2)
+    store_real(ctx, op.outputs[0], out)
+
+
+# --------------------------------------------------------------------------
+# TRANSPOSE_CONV
+# --------------------------------------------------------------------------
+
+def _prepare_transpose_conv(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    # inputs: [output_shape, weights(OHWI), x, bias?]
+    w_td = graph.tensor(op.inputs[1])
+    x_td = graph.tensor(op.inputs[2])
+    # rotate 180° and move to HWIO so a VALID conv on the dilated input
+    # reproduces the scatter semantics
+    w = w_td.data[:, ::-1, ::-1, :]  # [O, kh, kw, I]
+    w_hwio = np.transpose(w, (1, 2, 3, 0))
+    if x_td.quant is None or x_td.dtype.kind == "f":
+        d: Dict[str, Any] = {"w": w_hwio.astype(np.float32)}
+        if len(op.inputs) > 3 and op.inputs[3] >= 0:
+            d["bias"] = graph.tensor(op.inputs[3]).data.astype(np.float32)
+        return d
+    fake = OpNode(index=op.index, opname=op.opname,
+                  inputs=[op.inputs[2], op.inputs[1],
+                          op.inputs[3] if len(op.inputs) > 3 else -1],
+                  outputs=op.outputs, options=dict(op.options))
+    fake.options.setdefault("activation", "NONE")
+    kh, kw, ci, _ = w_hwio.shape
+    return _prepare_conv_common(
+        graph, fake, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw * ci,
+        exact=exact,
+    )
+
+
+@register("TRANSPOSE_CONV", prepare=_prepare_transpose_conv,
+          static_inputs=(0,))
+def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
+    g = ctx.graph
+    x = ctx.arr(op.inputs[2])
+    w = ctx.param(op, "w")
+    out_shape = [int(v) for v in ctx.static(op.inputs[0])]
+    o = op.options
+    sh, sw = o["stride_h"], o["stride_w"]
+    kh, kw = w.shape[0], w.shape[1]
+    n, in_h, in_w, _ = x.shape
+    out_h, out_w = out_shape[1], out_shape[2]
+
+    quant = ctx.is_quantized(op.inputs[2])
+    if quant:
+        xzp = ctx.smeta(op, "x_zp")
+        x, _ = _to_int8_domain(x, 0)
+        fill = np.int8(xzp)
+    else:
+        fill = np.float32(0.0)
+
+    # TFLite pad: total = (in-1)*stride + k - out (SAME), 0 (VALID)
+    if o["padding"] == "SAME":
+        tp_h = max((in_h - 1) * sh + kh - out_h, 0)
+        tp_w = max((in_w - 1) * sw + kw - out_w, 0)
+        pb_h, pb_w = tp_h // 2, tp_w // 2
+    else:
+        pb_h = pb_w = 0
+    # build dilated input filled with the zero point, then VALID conv
+    dil_h, dil_w = (in_h - 1) * sh + 1, (in_w - 1) * sw + 1
+    buf = jnp.full((n, dil_h, dil_w, x.shape[-1]), fill, x.dtype)
+    buf = buf.at[:, ::sh, ::sw, :].set(x)
+    # conv pad so that output size matches out_shape
+    cb_h = kh - 1 - pb_h
+    cb_w = kw - 1 - pb_w
+    ca_h = out_h + kh - 1 - dil_h - cb_h
+    ca_w = out_w + kw - 1 - dil_w - cb_w
+    buf = jnp.pad(buf, ((0, 0), (cb_h, ca_h), (cb_w, ca_w), (0, 0)),
+                  constant_values=fill)
+    pref = jnp.int32 if quant else jnp.float32
+    acc = lax.conv_general_dilated(
+        buf, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=pref,
+    )
+    if quant:
+        wzp = ctx.smeta(op, "w_zp")
+        if wzp != 0:
+            ones = jnp.ones((kh, kw, x.shape[-1], 1), jnp.int8)
+            s = lax.conv_general_dilated(
+                buf, ones, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            acc = acc - jnp.int32(wzp) * s
+        acc = acc + ctx.param(op, "bias")
+        ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
+    else:
+        if f"op{op.index}/bias" in ctx.params:
+            acc = acc + ctx.param(op, "bias")
+        ctx.set(op.outputs[0],
+                acc.astype(g.tensor(op.outputs[0]).dtype))
+
+
+# --------------------------------------------------------------------------
+# BATCH_MATMUL (float / dequant fallback)
+# --------------------------------------------------------------------------
+
+@register("BATCH_MATMUL")
+def _batch_matmul(ctx: LowerCtx, op: OpNode) -> None:
+    a = as_float(ctx, op.inputs[0])
+    b = as_float(ctx, op.inputs[1])
+    store_real(ctx, op.outputs[0], jnp.matmul(a, b))
+
+
+# --------------------------------------------------------------------------
+# Misc
+# --------------------------------------------------------------------------
+
+@register("FILL", static_inputs=(0,))
+def _fill(ctx: LowerCtx, op: OpNode) -> None:
+    dims = [int(v) for v in ctx.static(op.inputs[0])]
+    td = ctx.graph.tensor(op.inputs[1])
+    value = (
+        jnp.asarray(td.data.reshape(())) if td.is_constant
+        else ctx.arr(op.inputs[1]).reshape(())
+    )
+    ctx.set(op.outputs[0], jnp.full(dims, value))
+
+
+@register("TILE", static_inputs=(1,))
+def _tile(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    reps = [int(v) for v in ctx.static(op.inputs[1])]
+    ctx.set(op.outputs[0], jnp.tile(x, reps))
+
+
+@register("BROADCAST_TO", static_inputs=(1,))
+def _broadcast_to(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    shape = [int(v) for v in ctx.static(op.inputs[1])]
+    ctx.set(op.outputs[0], jnp.broadcast_to(x, shape))

@@ -1,0 +1,252 @@
+"""Quantization arithmetic for INT8/UINT8 inference.
+
+Provides bit-exact TFLite-style fixed-point requantization
+(SaturatingRoundingDoublingHighMul + RoundingDivideByPOT, the gemmlowp
+pipeline the reference's CPU kernels use) implemented with 32-bit limb
+arithmetic so it runs on the TPU VPU without int64 support, plus a fast
+float32 path for throughput mode.
+
+Reference semantics: band's backend executes TFLite quantized kernels
+(band/backend/tfl/model_executor.cc:249-255 → tflite::Interpreter);
+this module reproduces their requantization contract.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+ArrayLike = Union[jnp.ndarray, np.ndarray]
+
+
+# --------------------------------------------------------------------------
+# Host-side multiplier decomposition (numpy, done once at prepare time)
+# --------------------------------------------------------------------------
+
+def quantize_multiplier(m: float) -> Tuple[int, int]:
+    """Decompose a positive real multiplier into (q, shift) with
+    m == q * 2^(shift - 31), q in [2^30, 2^31)."""
+    if m == 0.0:
+        return 0, 0
+    mant, exp = math.frexp(m)  # m = mant * 2^exp, mant in [0.5, 1)
+    q = int(round(mant * (1 << 31)))
+    if q == (1 << 31):
+        q //= 2
+        exp += 1
+    return q, exp
+
+
+def quantize_multipliers(ms: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized quantize_multiplier for per-channel scales."""
+    qs = np.empty(ms.shape, np.int32)
+    shifts = np.empty(ms.shape, np.int32)
+    for i, m in enumerate(np.ravel(ms)):
+        q, s = quantize_multiplier(float(m))
+        qs.flat[i] = q
+        shifts.flat[i] = s
+    return qs, shifts
+
+
+# --------------------------------------------------------------------------
+# 64-bit arithmetic with 32-bit limbs (runs on the VPU)
+# --------------------------------------------------------------------------
+
+def _mul64(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full signed 64-bit product of int32 a*b as (hi, lo) uint32 limbs."""
+    au = a.astype(jnp.uint32)
+    bu = b.astype(jnp.uint32)
+    al, ah = au & 0xFFFF, au >> 16
+    bl, bh = bu & 0xFFFF, bu >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    cross = lh + hl
+    carry1 = (cross < lh).astype(jnp.uint32)
+    lo = ll + (cross << 16)
+    carry2 = (lo < ll).astype(jnp.uint32)
+    hi = hh + (cross >> 16) + (carry1 << 16) + carry2
+    # unsigned -> signed product correction (two's complement identity)
+    hi = hi - jnp.where(a < 0, bu, jnp.uint32(0)) - jnp.where(
+        b < 0, au, jnp.uint32(0)
+    )
+    return hi, lo
+
+
+def _srdhm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """SaturatingRoundingDoublingHighMul: int32((2*a*b + nudge) / 2^31),
+    division truncating toward zero (gemmlowp exact semantics)."""
+    hi, lo = _mul64(a, b)
+    neg = hi.astype(jnp.int32) < 0
+    # nudge = 1<<30 for non-negative product else 1 - (1<<30)
+    nudge_lo = jnp.where(neg, jnp.uint32(1 - (1 << 30) & 0xFFFFFFFF),
+                         jnp.uint32(1 << 30))
+    nudge_hi = jnp.where(neg, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    lo2 = lo + nudge_lo
+    carry = (lo2 < lo).astype(jnp.uint32)
+    hi2 = hi + nudge_hi + carry
+    v_neg = hi2.astype(jnp.int32) < 0
+    # divide by 2^31 truncating toward zero
+    q_pos = ((hi2 << 1) | (lo2 >> 31)).astype(jnp.int32)
+    # negate 64-bit, shift, negate back
+    nlo = (~lo2) + jnp.uint32(1)
+    nhi = (~hi2) + (nlo == 0).astype(jnp.uint32)
+    q_neg = -(((nhi << 1) | (nlo >> 31)).astype(jnp.int32))
+    return jnp.where(v_neg, q_neg, q_pos)
+
+
+def _rounding_divide_by_pot(x: jnp.ndarray, exponent: jnp.ndarray) -> jnp.ndarray:
+    """RoundingDivideByPOT: round-to-nearest, ties away from zero."""
+    exponent = jnp.asarray(exponent, jnp.int32)
+    mask = (jnp.int32(1) << exponent) - 1
+    remainder = jnp.bitwise_and(x, mask)
+    threshold = (mask >> 1) + jnp.where(x < 0, jnp.int32(1), jnp.int32(0))
+    return (x >> exponent) + jnp.where(remainder > threshold, jnp.int32(1),
+                                       jnp.int32(0))
+
+
+# "single" matches TFLite >= 2.16 (TFLITE_SINGLE_ROUNDING, the LiteRT
+# default); "double" matches the gemmlowp pipeline of TFLite 2.9.2 that
+# the reference links against (band WORKSPACE:9-15).
+DEFAULT_ROUNDING = "single"
+
+
+def _shr64_floor(hi: jnp.ndarray, lo: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Arithmetic (floor) right shift of a 64-bit (hi,lo) value by t in
+    [1, 62], returning the low 32 bits of the result as int32."""
+    t = jnp.asarray(t, jnp.uint32)
+    t_lo = jnp.clip(t, 1, 31)
+    t_hi = jnp.clip(t - 32, 0, 31)
+    # t < 32: (hi << (32-t)) | (lo >> t)
+    small = ((hi << (32 - t_lo)) | (lo >> t_lo)).astype(jnp.int32)
+    # t >= 32: asr(hi, t-32)
+    big = (hi.astype(jnp.int32) >> t_hi.astype(jnp.int32))
+    return jnp.where(t < 32, small, big)
+
+
+def _mbqm_single(x: jnp.ndarray, qm: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Single-rounding MBQM: floor((x*qm + 2^(t-1)) >> t), t = 31 - shift."""
+    t = (31 - jnp.asarray(shift, jnp.int32)).astype(jnp.uint32)
+    hi, lo = _mul64(x, jnp.asarray(qm, jnp.int32))
+    # round constant 2^(t-1) as 64-bit (r_hi, r_lo)
+    tm1 = t - 1
+    r_lo = jnp.where(tm1 < 32, jnp.uint32(1) << jnp.clip(tm1, 0, 31),
+                     jnp.uint32(0))
+    r_hi = jnp.where(tm1 >= 32, jnp.uint32(1) << jnp.clip(tm1 - 32, 0, 31),
+                     jnp.uint32(0))
+    lo2 = lo + r_lo
+    carry = (lo2 < lo).astype(jnp.uint32)
+    hi2 = hi + r_hi + carry
+    return _shr64_floor(hi2, lo2, t)
+
+
+def multiply_by_quantized_multiplier(
+    x: jnp.ndarray, qm: ArrayLike, shift: ArrayLike, rounding: str = None
+) -> jnp.ndarray:
+    """x * qm * 2^(shift-31), TFLite-exact rounding. qm/shift broadcast."""
+    rounding = rounding or DEFAULT_ROUNDING
+    qm = jnp.asarray(qm, jnp.int32)
+    shift = jnp.asarray(shift, jnp.int32)
+    if rounding == "single":
+        return _mbqm_single(x, qm, shift)
+    left = jnp.maximum(shift, 0)
+    right = jnp.maximum(-shift, 0)
+    shifted = x * (jnp.int32(1) << left)
+    high = _srdhm(shifted, qm)
+    if rounding == "ruy":
+        # ruy's rounding right shift: floor((x + 2^(e-1)) >> e), i.e. round
+        # half UP — this is what cpu_backend_gemm-based conv kernels do
+        half = jnp.where(right > 0,
+                         jnp.int32(1) << jnp.maximum(right - 1, 0),
+                         jnp.int32(0))
+        return (high + half) >> right
+    return _rounding_divide_by_pot(high, right)
+
+
+# --------------------------------------------------------------------------
+# Requantization entry points
+# --------------------------------------------------------------------------
+
+def requantize_exact(
+    acc: jnp.ndarray,
+    qm: ArrayLike,
+    shift: ArrayLike,
+    out_zp: int,
+    qmin: int,
+    qmax: int,
+    out_dtype,
+    rounding: str = None,
+) -> jnp.ndarray:
+    """int32 accumulator -> quantized output, bit-exact TFLite pipeline."""
+    scaled = multiply_by_quantized_multiplier(acc, qm, shift, rounding)
+    out = scaled + jnp.int32(out_zp)
+    out = jnp.clip(out, qmin, qmax)
+    return out.astype(out_dtype)
+
+
+def requantize_fast(
+    acc: jnp.ndarray,
+    multiplier: ArrayLike,
+    out_zp: int,
+    qmin: int,
+    qmax: int,
+    out_dtype,
+) -> jnp.ndarray:
+    """float32 multiply + round-to-nearest-even; ±1 LSB of the exact path."""
+    scaled = jnp.round(acc.astype(jnp.float32) * jnp.asarray(multiplier,
+                                                             jnp.float32))
+    out = scaled.astype(jnp.int32) + jnp.int32(out_zp)
+    out = jnp.clip(out, qmin, qmax)
+    return out.astype(out_dtype)
+
+
+def quantized_range(dtype: np.dtype) -> Tuple[int, int]:
+    info = np.iinfo(dtype)
+    return int(info.min), int(info.max)
+
+
+def activation_range(
+    activation: str, scale: float, zero_point: int, dtype: np.dtype
+) -> Tuple[int, int]:
+    """Clamp bounds of a fused activation in the quantized domain
+    (reference semantics: tflite CalculateActivationRangeQuantized)."""
+    qmin, qmax = quantized_range(dtype)
+
+    def quantize(v: float, round_fn=round) -> int:
+        return int(zero_point + round_fn(v / scale))
+
+    if activation == "RELU":
+        qmin = max(qmin, quantize(0.0))
+    elif activation == "RELU6":
+        qmin = max(qmin, quantize(0.0))
+        qmax = min(qmax, quantize(6.0))
+    elif activation == "RELU_N1_TO_1":
+        qmin = max(qmin, quantize(-1.0))
+        qmax = min(qmax, quantize(1.0))
+    elif activation in ("NONE", "TANH", "SIGN_BIT"):
+        pass
+    else:
+        raise ValueError(f"unsupported fused activation {activation}")
+    return qmin, qmax
+
+
+def round_ties_away(x: jnp.ndarray) -> jnp.ndarray:
+    """std::round semantics: round half away from zero (TfLiteRound)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def dequantize(q: jnp.ndarray, scale, zero_point) -> jnp.ndarray:
+    return (q.astype(jnp.int32) - jnp.asarray(zero_point, jnp.int32)).astype(
+        jnp.float32
+    ) * jnp.asarray(scale, jnp.float32)
+
+
+def quantize(x: jnp.ndarray, scale, zero_point, dtype) -> jnp.ndarray:
+    qmin, qmax = quantized_range(np.dtype(dtype))
+    q = jnp.round(x / jnp.asarray(scale, jnp.float32)).astype(jnp.int32) + (
+        jnp.asarray(zero_point, jnp.int32)
+    )
+    return jnp.clip(q, qmin, qmax).astype(dtype)

@@ -1,0 +1,80 @@
+"""Bit-level tests of the fixed-point requantization arithmetic."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from band_tpu.ops import quant as Q
+
+
+def _ref_srdhm(a: int, b: int) -> int:
+    ab = a * b
+    nudge = (1 << 30) if ab >= 0 else (1 - (1 << 30))
+    q = ab + nudge
+    return q // (1 << 31) if q >= 0 else -((-q) >> 31)
+
+
+def _ref_rdpot(x: int, e: int) -> int:
+    mask = (1 << e) - 1
+    rem = x & mask
+    thr = (mask >> 1) + (1 if x < 0 else 0)
+    return (x >> e) + (1 if rem > thr else 0)
+
+
+def _ref_mbqm(x: int, qm: int, sh: int, rounding: str) -> int:
+    if rounding == "single":
+        t = 31 - sh
+        return (x * qm + (1 << (t - 1))) >> t
+    left = max(sh, 0)
+    right = max(-sh, 0)
+    high = _ref_srdhm(x * (1 << left), qm)
+    if rounding == "ruy":
+        if right == 0:
+            return high
+        return (high + (1 << (right - 1))) >> right
+    return _ref_rdpot(high, right)
+
+
+@pytest.mark.parametrize("rounding", ["single", "double", "ruy"])
+def test_mbqm_matches_bigint(rounding, rng):
+    n = 20000
+    x = rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    qm = rng.integers(2**30, 2**31, n).astype(np.int32)
+    sh = rng.integers(-20, 3, n).astype(np.int32)
+    ref = np.array(
+        [_ref_mbqm(int(a), int(b), int(c), rounding)
+         for a, b, c in zip(x, qm, sh)],
+        dtype=np.int64,
+    )
+    got = np.asarray(
+        Q.multiply_by_quantized_multiplier(
+            jnp.asarray(x), jnp.asarray(qm), jnp.asarray(sh), rounding
+        )
+    ).astype(np.int64)
+    ok = (ref >= -(2**31)) & (ref < 2**31)
+    # a positive shift pre-scales x by 2^shift in int32; exclude inputs that
+    # would overflow there (real kernels only left-shift small accumulators)
+    left = np.maximum(sh, 0).astype(np.int64)
+    ok &= np.abs(x.astype(np.int64) << left) < 2**31
+    assert (ref[ok] == got[ok]).all()
+
+
+def test_quantize_multiplier_roundtrip():
+    for m in [0.5, 0.25, 0.0078125, 0.123456, 0.9999, 1.7, 3.3e-5]:
+        qm, sh = Q.quantize_multiplier(m)
+        assert 2**30 <= qm < 2**31
+        approx = qm * 2.0 ** (sh - 31)
+        assert abs(approx - m) / m < 1e-9
+
+
+def test_activation_range_uint8():
+    qmin, qmax = Q.activation_range("RELU6", 0.023528, 0, np.dtype(np.uint8))
+    assert qmin == 0 and qmax == 255
+    qmin, qmax = Q.activation_range("NONE", 0.1, 10, np.dtype(np.int8))
+    assert (qmin, qmax) == (-128, 127)
+
+
+def test_round_ties_away():
+    x = jnp.asarray([0.5, 1.5, -0.5, -1.5, 2.4, -2.4])
+    got = np.asarray(Q.round_ties_away(x))
+    assert got.tolist() == [1.0, 2.0, -1.0, -2.0, 2.0, -2.0]
