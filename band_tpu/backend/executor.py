@@ -1,0 +1,175 @@
+"""ModelExecutor: per-(model, worker) cache of compiled subgraph
+executables with device-resident weights.
+
+TPU-native analogue of the reference's per-subgraph interpreter map
+(band/backend/tfl/model_executor.h, interpreters_[key] built at
+PrepareSubgraph, model_executor.cc:327-373): here PrepareSubgraph
+builds a SubgraphProgram, places its params on the worker's device(s)
+and caches a jitted callable; ExecuteSubgraph dispatches asynchronously
+and returns device arrays.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..common import SubgraphKey
+from ..errors import ExecutionError, LoweringError
+from ..ir.graph import Graph
+from ..ops.host_ops import has_host_impl, run_host_op
+from ..ops.lowerings import LowerCtx
+from ..ops.registry import get_lowering, is_supported
+from .program import SubgraphProgram, build_program, prepare_params, subgraph_boundary
+
+
+class ModelExecutor:
+    """Holds compiled executables for one model on one worker."""
+
+    def __init__(
+        self,
+        model_id: int,
+        graph: Graph,
+        worker_id: int,
+        devices: Sequence[jax.Device],
+        exact: bool = True,
+        host: bool = False,
+        donate_inputs: bool = False,
+    ):
+        self.model_id = model_id
+        self.graph = graph
+        self.worker_id = worker_id
+        self.devices = list(devices)
+        self.exact = exact
+        self.host = host
+        # CPU backends lower int8 contractions to scalar code; use the
+        # exact f32 nibble-split path there instead (see ops/lowerings)
+        self.conv_mode = (
+            "f32_split" if self.devices[0].platform == "cpu" else "int8"
+        )
+        self._lock = threading.Lock()
+        self._programs: Dict[SubgraphKey, SubgraphProgram] = {}
+        self._fns: Dict[SubgraphKey, object] = {}
+        self._params: Dict[SubgraphKey, Dict[str, jax.Array]] = {}
+        self._eager: Dict[SubgraphKey, bool] = {}
+
+    # ------------------------------------------------------------------
+    def prepare_subgraph(
+        self, op_indices: Sequence[int], unit_indices: Sequence[int]
+    ) -> SubgraphKey:
+        key = SubgraphKey(
+            model_id=self.model_id,
+            worker_id=self.worker_id,
+            unit_indices=frozenset(unit_indices),
+        )
+        with self._lock:
+            if key in self._programs:
+                return key
+        has_custom = any(
+            self.graph.ops[oi].is_custom for oi in op_indices
+        )
+        if has_custom and not self.host:
+            raise LoweringError(
+                "custom ops can only be prepared on host workers"
+            )
+        if has_custom:
+            prog = self._build_custom_program(op_indices)
+            eager = True
+            fn = None
+            params = {k: np.asarray(v) for k, v in prog.params.items()}
+        else:
+            prog = build_program(self.graph, op_indices, exact=self.exact,
+                                 conv_mode=self.conv_mode)
+            eager = False
+            fn = jax.jit(prog.make_fn())
+            device = self.devices[0]
+            params = {
+                k: jax.device_put(v, device) for k, v in prog.params.items()
+            }
+        with self._lock:
+            self._programs[key] = prog
+            self._fns[key] = fn
+            self._params[key] = params
+            self._eager[key] = eager
+        return key
+
+    def _build_custom_program(self, op_indices) -> SubgraphProgram:
+        op_indices = tuple(sorted(op_indices))
+        inputs, outputs = subgraph_boundary(self.graph, op_indices)
+        jittable = [
+            oi for oi in op_indices if not self.graph.ops[oi].is_custom
+        ]
+        params, meta = prepare_params(self.graph, jittable, self.exact)
+        return SubgraphProgram(
+            graph=self.graph,
+            op_indices=op_indices,
+            input_ids=tuple(inputs),
+            output_ids=tuple(outputs),
+            params=params,
+            meta=meta,
+            exact=self.exact,
+        )
+
+    # ------------------------------------------------------------------
+    def has_subgraph(self, key: SubgraphKey) -> bool:
+        return key in self._programs
+
+    def subgraph_keys(self) -> List[SubgraphKey]:
+        return list(self._programs)
+
+    def program(self, key: SubgraphKey) -> SubgraphProgram:
+        return self._programs[key]
+
+    def input_ids(self, key: SubgraphKey) -> Tuple[int, ...]:
+        return self._programs[key].input_ids
+
+    def output_ids(self, key: SubgraphKey) -> Tuple[int, ...]:
+        return self._programs[key].output_ids
+
+    def largest_subgraph_key(self) -> Optional[SubgraphKey]:
+        """Key covering the most ops (reference:
+        IModelExecutor::GetLargestSubgraphKey)."""
+        best, best_n = None, -1
+        for key, prog in self._programs.items():
+            if len(prog.op_indices) > best_n:
+                best, best_n = key, len(prog.op_indices)
+        return best
+
+    # ------------------------------------------------------------------
+    def execute(
+        self, key: SubgraphKey, inputs: Sequence[np.ndarray]
+    ) -> List[jax.Array]:
+        """Dispatch the subgraph.  Returns (possibly not-yet-ready) device
+        arrays; call block_until_ready on them to observe completion."""
+        prog = self._programs.get(key)
+        if prog is None:
+            raise ExecutionError(f"subgraph {key} not prepared")
+        if self._eager[key]:
+            return self._execute_eager(prog, inputs)
+        fn = self._fns[key]
+        return fn(self._params[key], list(inputs))
+
+    def _execute_eager(
+        self, prog: SubgraphProgram, inputs: Sequence[np.ndarray]
+    ) -> List[np.ndarray]:
+        """Op-by-op host execution for subgraphs with custom ops."""
+        ctx = LowerCtx(prog.graph, prog.params, prog.meta, exact=prog.exact)
+        for tid, v in zip(prog.input_ids, inputs):
+            ctx.set(tid, np.asarray(v))
+        import jax.numpy as jnp
+
+        for oi in prog.op_indices:
+            op = prog.graph.ops[oi]
+            if op.is_custom:
+                ins = [
+                    np.asarray(ctx.arr(t)) for t in op.inputs if t >= 0
+                ]
+                outs = run_host_op(op.opname, prog.graph, op, ins)
+                for tid, o in zip(op.outputs, outs):
+                    ctx.set(tid, jnp.asarray(o))
+            else:
+                get_lowering(op.opname).trace(ctx, op)
+        return [np.asarray(ctx.arr(t)) for t in prog.output_ids]

@@ -103,6 +103,7 @@ class SubgraphProgram:
     params: Dict[str, np.ndarray]
     meta: Dict[str, Any]
     exact: bool = True
+    conv_mode: str = "int8"
 
     @property
     def input_specs(self):
@@ -126,9 +127,11 @@ class SubgraphProgram:
         output_ids = self.output_ids
         meta = self.meta
         exact = self.exact
+        conv_mode = self.conv_mode
 
         def fn(params, inputs):
-            ctx = LowerCtx(graph, params, meta, exact=exact)
+            ctx = LowerCtx(graph, params, meta, exact=exact,
+                           conv_mode=conv_mode)
             for tid, v in zip(input_ids, inputs):
                 ctx.set(tid, v)
             for oi in op_indices:
@@ -163,7 +166,10 @@ class SubgraphProgram:
 
 
 def build_program(
-    graph: Graph, op_indices: Sequence[int], exact: bool = True
+    graph: Graph,
+    op_indices: Sequence[int],
+    exact: bool = True,
+    conv_mode: str = "int8",
 ) -> SubgraphProgram:
     missing = sorted(
         {
@@ -185,4 +191,5 @@ def build_program(
         params=params,
         meta=meta,
         exact=exact,
+        conv_mode=conv_mode,
     )

@@ -169,6 +169,10 @@ class Job:
     output_handle: int = -1
     model_fname: str = ""
     require_callback: bool = True
+    # boundary activations handed between subgraph hops of one request
+    # (the TPU-native replacement for cross-interpreter tensor memcpy,
+    # reference: engine.cc:1261-1285)
+    activations: Dict[int, Any] = field(default_factory=dict)
 
     def is_root(self) -> bool:
         """True if this job is the first hop of its request."""

@@ -39,12 +39,18 @@ class LowerCtx:
         params: Dict[str, Any],
         meta: Dict[str, Any],
         exact: bool = True,
+        conv_mode: str = "int8",
     ):
         self.graph = graph
         self.params = params
         self.meta = meta
         self.env: Dict[int, Any] = {}
         self.exact = exact
+        # "int8": native s8xs8->s32 contractions (TPU MXU path).
+        # "f32_split": weights split into hi/lo nibbles, two f32 convs
+        #   summed in int32 — bit-exact (all integers < 2^24) and fast on
+        #   CPU backends whose int8 convs lower to scalar code.
+        self.conv_mode = conv_mode
 
     # runtime value of a tensor (activation or weight param)
     def arr(self, tid: int):
@@ -147,6 +153,109 @@ def _apply_float_activation(x, activation: str):
     if activation == "TANH":
         return jnp.tanh(x)
     raise LoweringError(f"unsupported activation {activation}")
+
+
+# --------------------------------------------------------------------------
+# Integer contraction helpers
+# --------------------------------------------------------------------------
+
+def _int_conv(
+    ctx: LowerCtx,
+    x_i8,
+    w_i8,
+    strides,
+    dil,
+    dn,
+    feature_group_count: int = 1,
+):
+    """s8 x s8 -> s32 VALID convolution.
+
+    int8 mode contracts natively (MXU); f32_split mode runs two f32
+    convolutions on hi/lo weight nibbles and recombines in int32 —
+    exact because every partial value stays below 2^24."""
+    if ctx.conv_mode == "int8":
+        return lax.conv_general_dilated(
+            x_i8, w_i8, strides, "VALID", rhs_dilation=dil,
+            dimension_numbers=dn, feature_group_count=feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
+    w_i = w_i8.astype(jnp.int32)
+    w_lo = (w_i & 15).astype(jnp.float32)
+    w_hi = (w_i >> 4).astype(jnp.float32)
+    xf = x_i8.astype(jnp.float32)
+
+    # |x|<=128, w_lo<=15, w_hi<=8 -> per-conv |acc| <= 1920*k; need
+    # k <= 8192 for f32 exactness; chunk the input channels otherwise
+    kh, kw = w_i8.shape[0], w_i8.shape[1]
+    ci = w_i8.shape[2]
+    k_taps = kh * kw * ci
+    max_ci = max(8192 // (kh * kw), 1)
+
+    def one(xs, wlo, whi):
+        lo = lax.conv_general_dilated(
+            xs, wlo, strides, "VALID", rhs_dilation=dil,
+            dimension_numbers=dn, feature_group_count=feature_group_count,
+            preferred_element_type=jnp.float32,
+        )
+        hi = lax.conv_general_dilated(
+            xs, whi, strides, "VALID", rhs_dilation=dil,
+            dimension_numbers=dn, feature_group_count=feature_group_count,
+            preferred_element_type=jnp.float32,
+        )
+        return (hi.astype(jnp.int32) << 4) + lo.astype(jnp.int32)
+
+    if k_taps <= 8192 or feature_group_count > 1:
+        return one(xf, w_lo, w_hi)
+    acc = None
+    for c0 in range(0, ci, max_ci):
+        c1 = min(c0 + max_ci, ci)
+        part = one(
+            xf[..., c0:c1], w_lo[:, :, c0:c1, :], w_hi[:, :, c0:c1, :]
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _int_dot(ctx: LowerCtx, x2_i8, w_io):
+    """s8[b,k] x s8[k,n] -> s32 matmul with the same exactness strategy."""
+    if ctx.conv_mode == "int8":
+        return jnp.dot(x2_i8, w_io, preferred_element_type=jnp.int32)
+    w_i = w_io.astype(jnp.int32)
+    w_lo = (w_i & 15).astype(jnp.float32)
+    w_hi = (w_i >> 4).astype(jnp.float32)
+    xf = x2_i8.astype(jnp.float32)
+    k = w_io.shape[0]
+    acc = None
+    for k0 in range(0, k, 8192):
+        k1 = min(k0 + 8192, k)
+        lo = jnp.dot(xf[:, k0:k1], w_lo[k0:k1],
+                     preferred_element_type=jnp.float32)
+        hi = jnp.dot(xf[:, k0:k1], w_hi[k0:k1],
+                     preferred_element_type=jnp.float32)
+        part = (hi.astype(jnp.int32) << 4) + lo.astype(jnp.int32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _ones_conv(ctx: LowerCtx, x_i8, kh, kw, ci, strides, dil, dn,
+               feature_group_count: int = 1):
+    """Window-sum of x via an all-ones kernel (for nonzero weight zp)."""
+    oc = 1 if feature_group_count == 1 else ci
+    rhs_ci = ci if feature_group_count == 1 else 1
+    if ctx.conv_mode == "int8":
+        ones = jnp.ones((kh, kw, rhs_ci, oc), jnp.int8)
+        return lax.conv_general_dilated(
+            x_i8, ones, strides, "VALID", rhs_dilation=dil,
+            dimension_numbers=dn, feature_group_count=feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
+    ones = jnp.ones((kh, kw, rhs_ci, oc), jnp.float32)
+    s = lax.conv_general_dilated(
+        x_i8.astype(jnp.float32), ones, strides, "VALID", rhs_dilation=dil,
+        dimension_numbers=dn, feature_group_count=feature_group_count,
+        preferred_element_type=jnp.float32,
+    )
+    return s.astype(jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -288,16 +397,9 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
     # pad explicitly with the zero point so padded taps vanish in real space
     x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
                     constant_values=np.int8(xzp))
-    acc = lax.conv_general_dilated(
-        x_pad, w, strides, "VALID", rhs_dilation=dil, dimension_numbers=dn,
-        preferred_element_type=jnp.int32,
-    )
+    acc = _int_conv(ctx, x_pad, w, strides, dil, dn)
     if wzp != 0:
-        ones = jnp.ones((kh, kw, x.shape[-1], 1), jnp.int8)
-        s = lax.conv_general_dilated(
-            x_pad, ones, strides, "VALID", rhs_dilation=dil,
-            dimension_numbers=dn, preferred_element_type=jnp.int32,
-        )
+        s = _ones_conv(ctx, x_pad, kh, kw, x.shape[-1], strides, dil, dn)
         acc = acc - jnp.int32(wzp) * s
     acc = acc + ctx.param(op, "bias")
     ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
@@ -354,18 +456,11 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     x, _ = _to_int8_domain(x, 0)
     x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
                     constant_values=np.int8(xzp))
-    acc = lax.conv_general_dilated(
-        x_pad, w, strides, "VALID", rhs_dilation=dil, dimension_numbers=dn,
-        feature_group_count=ci, preferred_element_type=jnp.int32,
-    )
+    acc = _int_conv(ctx, x_pad, w, strides, dil, dn, feature_group_count=ci)
     if wzp != 0:
         # per-input-channel window sums via depthwise ones kernel
-        ones = jnp.ones((kh, kw, 1, ci), jnp.int8)
-        s = lax.conv_general_dilated(
-            x_pad, ones, strides, "VALID", rhs_dilation=dil,
-            dimension_numbers=dn, feature_group_count=ci,
-            preferred_element_type=jnp.int32,
-        )
+        s = _ones_conv(ctx, x_pad, kh, kw, ci, strides, dil, dn,
+                       feature_group_count=ci)
         if mult > 1:
             s = jnp.repeat(s, mult, axis=-1)
         acc = acc - jnp.int32(wzp) * s
@@ -412,7 +507,7 @@ def _fully_connected(ctx: LowerCtx, op: OpNode) -> None:
     wzp = ctx.smeta(op, "w_zp")
     x, _ = _to_int8_domain(x, 0)
     x2 = x.reshape(-1, x.shape[-1])
-    acc = jnp.dot(x2, w, preferred_element_type=jnp.int32)  # [batch, out]
+    acc = _int_dot(ctx, x2, w)  # [batch, out]
     if wzp != 0:
         # -wzp * sum(raw x'); the xzp cross-terms are folded into bias_eff
         row_sum = x2.astype(jnp.int32).sum(axis=1, keepdims=True)
@@ -1245,20 +1340,18 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
     ca_w = out_w + kw - 1 - dil_w - cb_w
     buf = jnp.pad(buf, ((0, 0), (cb_h, ca_h), (cb_w, ca_w), (0, 0)),
                   constant_values=fill)
-    pref = jnp.int32 if quant else jnp.float32
-    acc = lax.conv_general_dilated(
-        buf, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=pref,
-    )
+    dn = ("NHWC", "HWIO", "NHWC")
+    if quant:
+        acc = _int_conv(ctx, buf, w, (1, 1), (1, 1), dn)
+    else:
+        acc = lax.conv_general_dilated(
+            buf, w, (1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
     if quant:
         wzp = ctx.smeta(op, "w_zp")
         if wzp != 0:
-            ones = jnp.ones((kh, kw, x.shape[-1], 1), jnp.int8)
-            s = lax.conv_general_dilated(
-                buf, ones, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
+            s = _ones_conv(ctx, buf, kh, kw, x.shape[-1], (1, 1), (1, 1), dn)
             acc = acc - jnp.int32(wzp) * s
         acc = acc + ctx.param(op, "bias")
         ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))

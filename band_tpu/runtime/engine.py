@@ -1,0 +1,467 @@
+"""Engine: the public facade and IEngine implementation.
+
+Owns model executors, workers, planner, latency estimator and the
+per-model I/O rings; implements the subgraph-selection queries the
+schedulers use (reference: band/engine.{h,cc} — Create engine.cc:42,
+RegisterModel :51-289, RequestAsync :455-529, Wait :556-567,
+Invoke :843-850, shortest-latency DP :966-1052, candidates :1107-1151,
+tensor copies :1247-1365).
+
+TPU-native execution model: a worker is a JAX device (or meshed device
+group) fed by a host dispatch thread; Invoke dispatches an XLA
+executable asynchronously; inter-subgraph "tensor copies" are
+device-to-device transfers carried on the job record."""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..common import (
+    DeviceFlag,
+    Job,
+    JobStatus,
+    RequestOption,
+    SubgraphKey,
+    WorkerType,
+    now_us,
+)
+from ..config import RuntimeConfig, WorkerSpec, config_hash
+from ..errors import ConfigError, DeadlineExceeded, NotFound
+from ..ir.analyzer import ModelAnalyzer, SubgraphDef, build_model_spec
+from ..ir.model import Model
+from ..ir.model_spec import ModelSpec
+from ..tracing.job_tracer import tracer
+from .engine_interface import EngineBase
+from .latency_estimator import LatencyEstimator
+from .planner import Planner
+from .ring_buffer import TensorRingBuffer
+from .worker import DeviceQueueWorker, GlobalQueueWorker, Worker
+
+
+class _ModelRecord:
+    def __init__(self, model: Model, spec: ModelSpec):
+        self.model = model
+        self.spec = spec
+        self.executors: Dict[int, "object"] = {}  # worker_id -> ModelExecutor
+        self.subgraph_keys: List[SubgraphKey] = []
+        # begin-unit -> list of keys starting there (reference:
+        # unit_subgraphs_to_subgraph_keys_, engine.h:246-247)
+        self.keys_by_begin: Dict[int, List[SubgraphKey]] = {}
+        self.input_ring: Optional[TensorRingBuffer] = None
+        self.output_ring: Optional[TensorRingBuffer] = None
+        self.worker_id: int = 0  # fixed-worker assignment
+
+
+class Engine(EngineBase):
+    def __init__(self, config: RuntimeConfig):
+        config.validate()
+        self.config = config
+        self._models: Dict[int, _ModelRecord] = {}
+        self._model_counter = 0
+        self._lock = threading.RLock()
+
+        self.latency_estimator = LatencyEstimator(
+            smoothing_factor=config.profile.smoothing_factor,
+            num_warmups=config.profile.num_warmups,
+            num_runs=config.profile.num_runs,
+            profile_data_path=config.profile.profile_data_path,
+            config_hash=config_hash(config),
+        )
+
+        # workers
+        self.workers: List[Worker] = []
+        worker_cls = (
+            GlobalQueueWorker
+            if config.planner.worker_type == WorkerType.GLOBAL_QUEUE
+            else DeviceQueueWorker
+        )
+        for wid, spec in enumerate(config.worker.workers):
+            w = worker_cls(self, wid, spec)
+            self.workers.append(w)
+            tracer().register_worker(wid, f"{spec.device.value}:{spec.device_ids}")
+        self._worker_devices: List[List[jax.Device]] = [
+            self._resolve_devices(spec) for spec in config.worker.workers
+        ]
+        for w in self.workers:
+            w.start()
+
+        self.planner = Planner(self, config.planner)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(config: RuntimeConfig) -> "Engine":
+        return Engine(config)
+
+    def shutdown(self) -> None:
+        self.planner.stop()
+        for w in self.workers:
+            w.stop()
+        if self.config.profile.profile_data_path:
+            self.latency_estimator.dump_profile()
+
+    def _resolve_devices(self, spec: WorkerSpec) -> List[jax.Device]:
+        if spec.device == DeviceFlag.CPU:
+            pool = jax.devices("cpu")
+        else:
+            pool = jax.devices()
+        try:
+            return [pool[i] for i in spec.device_ids]
+        except IndexError:
+            raise ConfigError(
+                f"worker wants devices {spec.device_ids} but only "
+                f"{len(pool)} present"
+            )
+
+    def _worker_is_host(self, worker_id: int) -> bool:
+        return self.config.worker.workers[worker_id].device == DeviceFlag.CPU
+
+    # ------------------------------------------------------------------
+    # model registration (reference: engine.cc:51-289)
+    # ------------------------------------------------------------------
+    def register_model(
+        self, model: Model, target_worker: int = -1
+    ) -> int:
+        from ..backend.executor import ModelExecutor
+
+        with self._lock:
+            model_id = self._model_counter
+            self._model_counter += 1
+        model.model_id = model_id
+        graph = model.graph
+
+        spec = build_model_spec(
+            graph, [self._worker_is_host(w) for w in range(len(self.workers))]
+        )
+        analyzer = ModelAnalyzer(
+            graph,
+            spec,
+            len(self.workers),
+            self.config.subgraph,
+            self.config.planner.need_fallback_subgraphs,
+        )
+        defs = analyzer.create_subgraphs()
+
+        rec = _ModelRecord(model, spec)
+        for sdef in defs:
+            wid = sdef.worker_id
+            if wid not in rec.executors:
+                rec.executors[wid] = ModelExecutor(
+                    model_id,
+                    graph,
+                    wid,
+                    self._worker_devices[wid],
+                    exact=True,
+                    host=self._worker_is_host(wid),
+                )
+            key = rec.executors[wid].prepare_subgraph(
+                sorted(sdef.op_indices), sorted(sdef.unit_indices)
+            )
+            rec.subgraph_keys.append(key)
+            rec.keys_by_begin.setdefault(key.begin_unit, []).append(key)
+
+        rec.input_ring = TensorRingBuffer(
+            [graph.tensor(t) for t in graph.inputs]
+        )
+        rec.output_ring = TensorRingBuffer(
+            [graph.tensor(t) for t in graph.outputs]
+        )
+        if target_worker >= 0:
+            rec.worker_id = target_worker
+        else:
+            supporting = sorted({k.worker_id for k in rec.subgraph_keys})
+            rec.worker_id = supporting[model_id % len(supporting)]
+        with self._lock:
+            self._models[model_id] = rec
+
+        self._profile_model(rec)
+        return model_id
+
+    def _profile_model(self, rec: _ModelRecord) -> None:
+        """Profile every prepared subgraph in isolation
+        (reference: latency_estimator.cc:62-126: pause workers ->
+        warmup+runs -> resume)."""
+        if not self.config.profile.online:
+            return
+        for w in self.workers:
+            w.pause()
+        try:
+            for key in rec.subgraph_keys:
+                if self.latency_estimator.get_profiled(key) > 0:
+                    continue
+                executor = rec.executors[key.worker_id]
+                prog = executor.program(key)
+                inputs = [
+                    np.zeros([max(s, 1) for s in shape], dtype)
+                    for shape, dtype in prog.input_specs
+                ]
+
+                def invoke():
+                    jax.block_until_ready(executor.execute(key, inputs))
+
+                self.latency_estimator.profile(key, invoke)
+        finally:
+            for w in self.workers:
+                w.resume()
+
+    # ------------------------------------------------------------------
+    # request path (reference: engine.cc:393-614)
+    # ------------------------------------------------------------------
+    def request_async(
+        self,
+        model_id: int,
+        inputs: Sequence[np.ndarray],
+        option: RequestOption = RequestOption(),
+    ) -> int:
+        return self.request_async_batch([model_id], [inputs], [option])[0]
+
+    def request_async_batch(
+        self,
+        model_ids: Sequence[int],
+        inputs_batch: Sequence[Sequence[np.ndarray]],
+        options: Optional[Sequence[RequestOption]] = None,
+    ) -> List[int]:
+        options = options or [RequestOption()] * len(model_ids)
+        jobs = []
+        for model_id, inputs, option in zip(model_ids, inputs_batch, options):
+            rec = self._rec(model_id)
+            job = Job(model_id=model_id)
+            job.model_fname = rec.model.name
+            job.target_worker_id = option.target_worker
+            job.require_callback = option.require_callback
+            if option.slo_us > 0:
+                job.slo_us = option.slo_us
+            elif option.slo_scale > 0:
+                job.slo_us = int(
+                    self.get_worst_latency(model_id) * option.slo_scale
+                )
+            handle = rec.input_ring.alloc()
+            rec.input_ring.put(
+                handle,
+                {
+                    tid: np.asarray(arr)
+                    for tid, arr in zip(rec.model.graph.inputs, inputs)
+                },
+            )
+            job.input_handle = handle
+            job.output_handle = rec.output_ring.alloc()
+            jobs.append(job)
+        return self.enqueue_batch(jobs)
+
+    def request_sync(
+        self,
+        model_id: int,
+        inputs: Sequence[np.ndarray],
+        option: RequestOption = RequestOption(),
+        timeout: float = 60.0,
+    ) -> List[np.ndarray]:
+        job_id = self.request_async(model_id, inputs, option)
+        return self.wait(job_id, timeout=timeout)
+
+    def wait(self, job_id: int, timeout: float = 60.0) -> List[np.ndarray]:
+        statuses = self.planner.wait([job_id], timeout=timeout)
+        if job_id not in statuses:
+            raise TimeoutError(f"job {job_id} did not finish in {timeout}s")
+        status = statuses[job_id]
+        if status == JobStatus.SLO_VIOLATION:
+            raise DeadlineExceeded(f"job {job_id} dropped: SLO unmeetable")
+        if status != JobStatus.SUCCESS:
+            raise NotFound(f"job {job_id} failed with {status}")
+        return self.get_outputs(job_id)
+
+    def wait_all(self, job_ids: Sequence[int], timeout: float = 120.0):
+        return self.planner.wait(job_ids, timeout=timeout)
+
+    def get_outputs(self, job_id: int) -> List[np.ndarray]:
+        job = self.planner.get_finished_job(job_id)
+        if job is None:
+            raise NotFound(f"no finished record for job {job_id}")
+        rec = self._rec(job.model_id)
+        slot = rec.output_ring.get(job.output_handle)
+        return [slot[tid] for tid in rec.model.graph.outputs]
+
+    def register_callback(self, cb) -> None:
+        self.planner.add_callback(cb)
+
+    # ------------------------------------------------------------------
+    # EngineBase SPI
+    # ------------------------------------------------------------------
+    def _rec(self, model_id: int) -> _ModelRecord:
+        rec = self._models.get(model_id)
+        if rec is None:
+            raise NotFound(f"unknown model {model_id}")
+        return rec
+
+    def enqueue_batch(self, jobs, push_front: bool = False) -> List[int]:
+        return self.planner.enqueue_batch(jobs, push_front)
+
+    def enqueue_finished_job(self, job: Job) -> None:
+        self.planner.enqueue_finished_job(job)
+
+    def trigger(self) -> None:
+        self.planner.trigger()
+
+    def dispatch(self, job: Job) -> bool:
+        worker = self.workers[job.subgraph_key.worker_id]
+        return worker.enqueue_job(job)
+
+    def num_workers(self) -> int:
+        return len(self.workers)
+
+    def get_worker_waiting_time(self) -> Dict[int, int]:
+        return {w.worker_id: w.get_waiting_time() for w in self.workers}
+
+    def get_idle_workers(self) -> List[int]:
+        return [
+            w.worker_id
+            for w in self.workers
+            if w.is_enqueue_ready() and not w.has_job() and not w._processing
+        ]
+
+    def is_worker_available(self, worker_id: int) -> bool:
+        return self.workers[worker_id].is_available()
+
+    def get_model_worker(self, model_id: int) -> int:
+        return self._rec(model_id).worker_id
+
+    def get_largest_subgraph_key(
+        self, model_id: int, worker_id: int
+    ) -> SubgraphKey:
+        rec = self._rec(model_id)
+        executor = rec.executors.get(worker_id)
+        if executor is None:
+            return SubgraphKey()
+        key = executor.largest_subgraph_key()
+        return key if key is not None else SubgraphKey()
+
+    def get_subgraph_candidates(
+        self, model_id: int, resolved_units: frozenset
+    ) -> List[SubgraphKey]:
+        """Executable next subgraphs: units disjoint from resolved,
+        external deps inside resolved (reference: engine.cc:1107-1151)."""
+        rec = self._rec(model_id)
+        out = []
+        for key in rec.subgraph_keys:
+            if key.unit_indices & resolved_units:
+                continue
+            deps = set()
+            for u in key.unit_indices:
+                deps |= rec.spec.unit_dependencies[u]
+            if deps - set(key.unit_indices) <= resolved_units:
+                out.append(key)
+        return out
+
+    def get_subgraph_with_shortest_latency(
+        self, job: Job, waiting: Dict[int, int]
+    ) -> Tuple[Optional[SubgraphKey], int]:
+        """DP over contiguous unit ranges (reference: engine.cc:966-1052):
+        memo[j] = earliest finish of units <= j; returns the *first* hop
+        of the best path plus the path's total expected end time."""
+        rec = self._rec(job.model_id)
+        num_units = rec.spec.num_unit_subgraphs
+        resolved = job.resolved_unit_subgraphs
+        start = (max(resolved) + 1) if resolved else 0
+        if start >= num_units:
+            return None, 0
+
+        INF = 1 << 62
+        memo: List[int] = [INF] * (num_units + 1)
+        first_hop: List[Optional[SubgraphKey]] = [None] * (num_units + 1)
+        memo[start] = 0  # nothing executed yet beyond `resolved`
+        for begin in range(start, num_units):
+            if memo[begin] >= INF:
+                continue
+            for key in rec.keys_by_begin.get(begin, []):
+                expected = self.get_expected_latency(key)
+                if expected < 0:
+                    expected = 0
+                w_wait = waiting.get(key.worker_id, 0)
+                end_time = max(memo[begin], w_wait) + expected
+                nxt = key.end_unit + 1
+                if end_time < memo[nxt]:
+                    memo[nxt] = end_time
+                    first_hop[nxt] = (
+                        first_hop[begin] if first_hop[begin] is not None else key
+                    )
+        if memo[num_units] >= INF:
+            return None, 0
+        return first_hop[num_units], memo[num_units]
+
+    def is_end_of_model(self, key: SubgraphKey, resolved: frozenset) -> bool:
+        rec = self._rec(key.model_id)
+        return (
+            len(resolved | key.unit_indices) == rec.spec.num_unit_subgraphs
+        )
+
+    def get_expected_latency(self, key: SubgraphKey) -> int:
+        return self.latency_estimator.get_expected(key)
+
+    def get_worst_latency(self, model_id: int) -> int:
+        rec = self._rec(model_id)
+        worst = 0
+        for key in rec.subgraph_keys:
+            if len(key.unit_indices) == rec.spec.num_unit_subgraphs:
+                worst = max(worst, self.get_expected_latency(key))
+        if worst == 0:
+            worst = self.latency_estimator.get_worst_model_latency(model_id)
+        return worst
+
+    def update_latency(self, key: SubgraphKey, latency_us: int) -> None:
+        self.latency_estimator.update(key, latency_us)
+
+    # ------------------------------------------------------------------
+    # execution (worker-side)
+    # ------------------------------------------------------------------
+    def invoke(self, key: SubgraphKey, inputs: List[np.ndarray]) -> List:
+        rec = self._rec(key.model_id)
+        return rec.executors[key.worker_id].execute(key, inputs)
+
+    def try_copy_input_tensors(self, job: Job) -> List[np.ndarray]:
+        """Assemble subgraph inputs from the ring slot (graph inputs) and
+        the job's accumulated activations (reference: engine.cc:1247-1319)."""
+        rec = self._rec(job.model_id)
+        key = job.subgraph_key
+        executor = rec.executors[key.worker_id]
+        device = self._worker_devices[key.worker_id][0]
+        graph_inputs = set(rec.model.graph.inputs)
+        ring = rec.input_ring.view(job.input_handle)
+        inputs = []
+        for tid in executor.input_ids(key):
+            if tid in job.activations:
+                val = job.activations[tid]
+                if isinstance(val, jax.Array):
+                    val = jax.device_put(val, device)
+                inputs.append(val)
+            elif tid in graph_inputs:
+                inputs.append(ring[tid])
+            else:
+                raise NotFound(
+                    f"input tensor {tid} for {key} neither activation nor "
+                    "graph input"
+                )
+        return inputs
+
+    def try_copy_output_tensors(self, job: Job, outputs: List) -> None:
+        """Stash boundary activations; write final model outputs into the
+        output ring (reference: engine.cc:1333-1365)."""
+        rec = self._rec(job.model_id)
+        key = job.subgraph_key
+        executor = rec.executors[key.worker_id]
+        graph_outputs = set(rec.model.graph.outputs)
+        final = {}
+        for tid, val in zip(executor.output_ids(key), outputs):
+            job.activations[tid] = val
+            if tid in graph_outputs:
+                final[tid] = np.asarray(val)
+        if final:
+            rec.output_ring.put(job.output_handle, final)
+
+    # ------------------------------------------------------------------
+    def get_model_execution_counts(self) -> Dict[int, int]:
+        return self.planner.get_model_execution_counts()
+
+    def model_record(self, model_id: int) -> _ModelRecord:
+        return self._rec(model_id)

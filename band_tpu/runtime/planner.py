@@ -1,0 +1,249 @@
+"""Planner: the scheduling thread.
+
+Drains the request queue into per-scheduler local queues (SLO jobs to
+queue 0, reference: band/planner.cc:295-320), invokes the schedulers,
+applies SLO early-drop, splits multi-subgraph jobs into continuations
+and dispatches to workers (reference: band/planner.cc:268-409).
+Finished jobs land in a bounded record ring observed by Wait()
+(reference: planner.h:21,144, planner.cc:155-210)."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+import threading
+from typing import Callable, Deque, Dict, List, Optional, Sequence, Set
+
+from ..common import (
+    Job,
+    JobStatus,
+    RequestCallback,
+    SafeEvent,
+    ScheduleAction,
+    SchedulerType,
+    SubgraphKey,
+    now_us,
+)
+from ..config import PlannerConfig
+from ..errors import ConfigError
+from .engine_interface import EngineBase
+
+NUM_FINISHED_RECORDS = 1000
+
+
+def make_scheduler(stype: SchedulerType, engine: EngineBase, window: int):
+    from ..schedulers.fixed_worker import (
+        FixedWorkerGlobalQueueScheduler,
+        FixedWorkerScheduler,
+    )
+    from ..schedulers.heft import HEFTScheduler
+    from ..schedulers.least_slack_first import LeastSlackFirstScheduler
+    from ..schedulers.round_robin import RoundRobinScheduler
+    from ..schedulers.shortest_expected_latency import (
+        ShortestExpectedLatencyScheduler,
+    )
+
+    if stype == SchedulerType.FIXED_WORKER:
+        return FixedWorkerScheduler(engine, window)
+    if stype == SchedulerType.FIXED_WORKER_GLOBAL_QUEUE:
+        return FixedWorkerGlobalQueueScheduler(engine, window)
+    if stype == SchedulerType.ROUND_ROBIN:
+        return RoundRobinScheduler(engine, window)
+    if stype == SchedulerType.SHORTEST_EXPECTED_LATENCY:
+        return ShortestExpectedLatencyScheduler(engine, window)
+    if stype == SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME:
+        return HEFTScheduler(engine, window, reserve=False)
+    if stype == SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME_RESERVED:
+        return HEFTScheduler(engine, window, reserve=True)
+    if stype == SchedulerType.LEAST_SLACK_TIME_FIRST:
+        return LeastSlackFirstScheduler(engine, window)
+    raise ConfigError(f"unknown scheduler type {stype}")
+
+
+class Planner:
+    def __init__(self, engine: EngineBase, config: PlannerConfig):
+        self.engine = engine
+        self.config = config
+        self.schedulers = [
+            make_scheduler(s, engine, config.schedule_window_size)
+            for s in config.schedulers
+        ]
+        # SLO-tagged jobs always go to the first scheduler's queue
+        self.local_queues: List[Deque[Job]] = [
+            collections.deque() for _ in self.schedulers
+        ]
+        self._requests: Deque[Job] = collections.deque()
+        self._requests_lock = threading.Lock()
+        self._job_counter = itertools.count()
+        self._safe_event = SafeEvent()
+
+        self._finished_lock = threading.Condition()
+        self._finished: "collections.OrderedDict[int, Job]" = collections.OrderedDict()
+        self._callbacks: List[RequestCallback] = []
+        self._execution_counts: Dict[int, int] = {}
+
+        self._thread = threading.Thread(
+            target=self._plan, name="band-planner", daemon=True
+        )
+        self._running = True
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def stop(self) -> None:
+        self._running = False
+        self._safe_event.terminate()
+        self._thread.join(timeout=10)
+
+    def add_callback(self, cb: RequestCallback) -> None:
+        self._callbacks.append(cb)
+
+    # ------------------------------------------------------------------
+    def enqueue_batch(
+        self, jobs: Sequence[Job], push_front: bool = False
+    ) -> List[int]:
+        """Stamp ids/enqueue times, queue, wake the planner
+        (reference: planner.cc:125-153)."""
+        ids = []
+        with self._requests_lock:
+            now = now_us()
+            stamped = []
+            for job in jobs:
+                if job.job_id < 0:
+                    job.job_id = next(self._job_counter)
+                    job.enqueue_time = now
+                stamped.append(job)
+                ids.append(job.job_id)
+            if push_front:
+                self._requests.extendleft(reversed(stamped))
+            else:
+                self._requests.extend(stamped)
+        self._safe_event.notify()
+        return ids
+
+    def trigger(self) -> None:
+        self._safe_event.notify()
+
+    # ------------------------------------------------------------------
+    def wait(self, job_ids: Sequence[int], timeout: float = 60.0) -> Dict[int, JobStatus]:
+        """Block until all job ids are finished (reference:
+        planner.cc:155-173)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        with self._finished_lock:
+            while not all(j in self._finished for j in job_ids):
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                self._finished_lock.wait(timeout=min(remaining, 0.5))
+            return {
+                j: self._finished[j].status
+                for j in job_ids
+                if j in self._finished
+            }
+
+    def get_finished_job(self, job_id: int) -> Optional[Job]:
+        with self._finished_lock:
+            return self._finished.get(job_id)
+
+    def enqueue_finished_job(self, job: Job) -> None:
+        """Record ring + wake waiters + fire end-of-request callbacks
+        (reference: planner.cc:184-210)."""
+        with self._finished_lock:
+            self._finished[job.job_id] = job
+            while len(self._finished) > NUM_FINISHED_RECORDS:
+                self._finished.popitem(last=False)
+            self._execution_counts[job.model_id] = (
+                self._execution_counts.get(job.model_id, 0) + 1
+            )
+            self._finished_lock.notify_all()
+        for scheduler in self.schedulers:
+            on_fin = getattr(scheduler, "on_job_finished", None)
+            if on_fin:
+                on_fin(job.job_id)
+        if job.require_callback:
+            for cb in self._callbacks:
+                cb(job.job_id, job.status)
+
+    def get_model_execution_counts(self) -> Dict[int, int]:
+        return dict(self._execution_counts)
+
+    # ------------------------------------------------------------------
+    def _copy_to_local_queues(self) -> None:
+        """SLO jobs -> queue 0, rest -> last queue
+        (reference: planner.cc:295-320)."""
+        with self._requests_lock:
+            jobs = list(self._requests)
+            self._requests.clear()
+        if not jobs:
+            return
+        if len(self.local_queues) == 1:
+            self.local_queues[0].extend(jobs)
+            return
+        for job in jobs:
+            if job.slo_us > 0:
+                self.local_queues[0].append(job)
+            else:
+                self.local_queues[-1].append(job)
+
+    def _plan(self) -> None:
+        """Main loop (reference: planner.cc:268-293)."""
+        while True:
+            if self._safe_event.wait():
+                return
+            if not self._running:
+                return
+            self._copy_to_local_queues()
+            for scheduler, queue in zip(self.schedulers, self.local_queues):
+                if queue:
+                    actions = scheduler.schedule(queue)
+                    self._enqueue_to_workers(actions)
+
+    def _enqueue_to_workers(self, actions: Sequence[ScheduleAction]) -> None:
+        """SLO early-drop + continuation split + dispatch
+        (reference: planner.cc:322-409)."""
+        for job, key in actions:
+            if key is None or not key.is_valid():
+                job.status = JobStatus.ENQUEUE_FAILED
+                job.end_time = now_us()
+                self.enqueue_finished_job(job)
+                continue
+            # SLO violation check before dispatch (planner.cc:338-347)
+            if job.slo_us > 0:
+                expected = max(self.engine.get_expected_latency(key), 0)
+                if now_us() - job.enqueue_time + expected > job.slo_us:
+                    job.status = JobStatus.SLO_VIOLATION
+                    job.end_time = now_us()
+                    self.enqueue_finished_job(job)
+                    continue
+            job.subgraph_key = key
+            job.expected_execution_time = max(
+                self.engine.get_expected_latency(key), 0
+            )
+            self._update_job_schedule_status(job, key)
+            if not self.engine.dispatch(job):
+                # worker rejected (busy global-queue worker / throttled):
+                # give the job back to the planner front
+                job.subgraph_key = SubgraphKey()
+                job.following_jobs = []
+                self.enqueue_batch([job], push_front=True)
+
+    def _update_job_schedule_status(self, job: Job, key: SubgraphKey) -> None:
+        """Split the remainder of a partial-model job into a following job
+        (reference: planner.cc:385-409)."""
+        resolved = job.resolved_unit_subgraphs | key.unit_indices
+        if self.engine.is_end_of_model(key, job.resolved_unit_subgraphs):
+            job.following_jobs = []
+            return
+        follow = Job(
+            model_id=job.model_id,
+            job_id=job.job_id,
+            enqueue_time=job.enqueue_time,
+            slo_us=job.slo_us,
+            target_worker_id=job.target_worker_id,
+            input_handle=job.input_handle,
+            output_handle=job.output_handle,
+            require_callback=job.require_callback,
+        )
+        follow.resolved_unit_subgraphs = frozenset(resolved)
+        job.following_jobs = [follow]

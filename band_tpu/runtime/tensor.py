@@ -1,0 +1,51 @@
+"""Host-side tensor: the engine-owned deep-copy tensor handed across the
+API boundary (reference: band/tensor.h:82-105, band/interface/tensor.cc
+CopyDataFrom)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ir.graph import QuantParams, TensorDef
+
+
+@dataclass
+class Tensor:
+    name: str
+    data: np.ndarray
+    quant: Optional[QuantParams] = None
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.data.shape)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self.data.dtype
+
+    @staticmethod
+    def from_def(td: TensorDef) -> "Tensor":
+        return Tensor(
+            name=td.name,
+            data=np.zeros([max(s, 1) for s in td.shape], td.dtype),
+            quant=td.quant,
+        )
+
+    def copy_from(self, other: "Tensor") -> None:
+        """Deep copy with shape/dtype check (reference ITensor::CopyDataFrom)."""
+        if other.data.shape != self.data.shape or other.dtype != self.dtype:
+            raise ValueError(
+                f"tensor copy mismatch: {other.data.shape}/{other.dtype} -> "
+                f"{self.data.shape}/{self.dtype}"
+            )
+        np.copyto(self.data, other.data)
+
+    def dequantized(self) -> np.ndarray:
+        if self.quant is None or self.data.dtype.kind == "f":
+            return self.data.astype(np.float32)
+        return (
+            self.data.astype(np.float32) - self.quant.zero_point.astype(np.float32)
+        ) * self.quant.scale

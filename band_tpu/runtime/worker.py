@@ -1,0 +1,278 @@
+"""Workers: one host dispatch thread per TPU device (or device group).
+
+Re-implements the reference worker model (band/worker.{h,cc},
+band/worker_device_queue.cc, band/worker_global_queue.cc) with the
+blocking invoke replaced by async dispatch + block-until-ready, so the
+waiting-time estimate stays truthful on an asynchronous device:
+
+ * DeviceQueueWorker — per-worker FIFO; waiting time = sum of expected
+   latencies of queued jobs plus the remaining time of the in-flight
+   job (reference: worker_device_queue.cc:44-69)
+ * GlobalQueueWorker — at most one in-flight job; enqueue-ready only
+   while idle (reference: worker_global_queue.cc:25-53, 125-164)
+
+On device error the worker throttles, re-enqueues its queue to the
+planner front and polls availability (reference: worker.cc:101-110,
+worker_device_queue.cc:110-125)."""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from typing import Deque, List, Optional
+
+import jax
+
+from ..common import Job, JobStatus, now_us
+from ..config import WorkerSpec
+from ..errors import ExecutionError
+from ..tracing.job_tracer import tracer
+from .engine_interface import EngineBase
+
+LARGE_WAITING_TIME = 1 << 62
+
+
+class Worker:
+    """Base worker thread (reference: band/worker.h:17-80)."""
+
+    def __init__(self, engine: EngineBase, worker_id: int, spec: WorkerSpec):
+        self.engine = engine
+        self.worker_id = worker_id
+        self.spec = spec
+        self._cv = threading.Condition()
+        self._kill = False
+        self._paused = False
+        self._available = True
+        self._throttling_until = 0.0
+        self._thread: Optional[threading.Thread] = None
+        self._idle_cv = threading.Condition()
+        self._processing = False
+
+    # --- lifecycle ---
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._work, name=f"band-worker-{self.worker_id}",
+            daemon=True,
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        with self._cv:
+            self._kill = True
+            self._cv.notify_all()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def pause(self) -> None:
+        with self._cv:
+            self._paused = True
+
+    def resume(self) -> None:
+        with self._cv:
+            self._paused = False
+            self._cv.notify_all()
+
+    def wait_until_idle(self, timeout: float = 30.0) -> bool:
+        """Block until queue drained and nothing is processing
+        (reference: Worker::Wait)."""
+        deadline = time.monotonic() + timeout
+        with self._idle_cv:
+            while (self.has_job() or self._processing) and (
+                time.monotonic() < deadline
+            ):
+                self._idle_cv.wait(timeout=0.05)
+            return not (self.has_job() or self._processing)
+
+    def is_available(self) -> bool:
+        return self._available and time.monotonic() >= self._throttling_until
+
+    # --- queue interface (overridden) ---
+    def enqueue_job(self, job: Job) -> bool:
+        raise NotImplementedError
+
+    def has_job(self) -> bool:
+        raise NotImplementedError
+
+    def get_waiting_time(self) -> int:
+        raise NotImplementedError
+
+    def is_enqueue_ready(self) -> bool:
+        return self.is_available()
+
+    def _dequeue(self) -> Optional[Job]:
+        raise NotImplementedError
+
+    def _requeue_all(self) -> List[Job]:
+        raise NotImplementedError
+
+    # --- main loop (reference: Worker::Work, worker.cc:222-323) ---
+    def _work(self) -> None:
+        while True:
+            with self._cv:
+                while (self._kill is False) and (
+                    self._paused or not self.has_job()
+                ):
+                    self._cv.wait(timeout=0.1)
+                if self._kill:
+                    return
+                job = self._dequeue()
+                if job is None:
+                    continue
+                self._processing = True
+            try:
+                self._process(job)
+            finally:
+                with self._idle_cv:
+                    self._processing = False
+                    self._idle_cv.notify_all()
+                self.engine.trigger()
+
+    def _process(self, job: Job) -> None:
+        key = job.subgraph_key
+        try:
+            inputs = self.engine.try_copy_input_tensors(job)
+            job.invoke_time = now_us()
+            tracer().begin_subgraph(job)
+            outputs = self.engine.invoke(key, inputs)
+            outputs = jax.block_until_ready(outputs)
+            latency = now_us() - job.invoke_time
+            self.engine.update_latency(key, latency)
+            job.end_time = now_us()
+            job.profiled_execution_time = latency
+            tracer().end_subgraph(job)
+        except ExecutionError:
+            self._handle_device_error(job)
+            return
+        except Exception:
+            job.status = JobStatus.INVOKE_FAILURE
+            job.end_time = now_us()
+            tracer().end_subgraph(job)
+            self.engine.enqueue_finished_job(job)
+            return
+
+        if job.following_jobs:
+            # pipeline continuation: hand boundary activations to the next hop
+            self.engine.try_copy_output_tensors(job, outputs)
+            for fj in job.following_jobs:
+                fj.activations.update(job.activations)
+            self.engine.enqueue_batch(job.following_jobs, push_front=True)
+        else:
+            self.engine.try_copy_output_tensors(job, outputs)
+            job.status = JobStatus.SUCCESS
+            self.engine.enqueue_finished_job(job)
+
+    def _handle_device_error(self, job: Job) -> None:
+        """Throttle + give jobs back to the planner (reference:
+        worker.cc:101-110, worker_device_queue.cc:110-125)."""
+        self._throttling_until = time.monotonic() + 1.0
+        jobs = [job] + self._requeue_all()
+        for j in jobs:
+            j.subgraph_key = type(j.subgraph_key)()  # reset assignment
+            j.status = JobStatus.QUEUED
+        self.engine.enqueue_batch(jobs, push_front=True)
+
+
+class DeviceQueueWorker(Worker):
+    """Per-worker FIFO queue (reference: band/worker_device_queue.cc)."""
+
+    def __init__(self, engine: EngineBase, worker_id: int, spec: WorkerSpec):
+        super().__init__(engine, worker_id, spec)
+        self._queue: Deque[Job] = collections.deque()
+        self._current: Optional[Job] = None
+
+    def enqueue_job(self, job: Job) -> bool:
+        if not job.subgraph_key.is_valid():
+            return False
+        with self._cv:
+            self._queue.append(job)
+            self._cv.notify_all()
+        return True
+
+    def has_job(self) -> bool:
+        return bool(self._queue)
+
+    def _dequeue(self) -> Optional[Job]:
+        if not self._queue:
+            return None
+        self._current = self._queue.popleft()
+        return self._current
+
+    def _requeue_all(self) -> List[Job]:
+        with self._cv:
+            jobs = list(self._queue)
+            self._queue.clear()
+        return jobs
+
+    def get_waiting_time(self) -> int:
+        """Sum of expected latencies minus progress of the running job
+        (reference: worker_device_queue.cc:44-69)."""
+        if not self.is_available():
+            return LARGE_WAITING_TIME
+        total = 0
+        cur = self._current if self._processing else None
+        if cur is not None:
+            expected = self.engine.get_expected_latency(cur.subgraph_key)
+            if expected < 0:
+                return LARGE_WAITING_TIME
+            elapsed = now_us() - cur.invoke_time if cur.invoke_time else 0
+            total += max(expected - elapsed, 0)
+        for job in list(self._queue):
+            expected = self.engine.get_expected_latency(job.subgraph_key)
+            if expected < 0:
+                return LARGE_WAITING_TIME
+            total += expected
+        return total
+
+
+class GlobalQueueWorker(Worker):
+    """Single in-flight job; jobs wait in the planner's global queue
+    (reference: band/worker_global_queue.cc)."""
+
+    def __init__(self, engine: EngineBase, worker_id: int, spec: WorkerSpec):
+        super().__init__(engine, worker_id, spec)
+        self._current: Optional[Job] = None
+
+    def enqueue_job(self, job: Job) -> bool:
+        if not job.subgraph_key.is_valid():
+            return False
+        with self._cv:
+            if self._current is not None:
+                return False
+            self._current = job
+            self._cv.notify_all()
+        return True
+
+    def is_enqueue_ready(self) -> bool:
+        return self._current is None and self.is_available()
+
+    def has_job(self) -> bool:
+        return self._current is not None
+
+    def _dequeue(self) -> Optional[Job]:
+        return self._current
+
+    def _requeue_all(self) -> List[Job]:
+        return []
+
+    def _process(self, job: Job) -> None:
+        try:
+            super()._process(job)
+        finally:
+            with self._cv:
+                self._current = None
+
+    def get_waiting_time(self) -> int:
+        """Remaining time of the in-flight job
+        (reference: worker_global_queue.cc:125-164)."""
+        if not self.is_available():
+            return LARGE_WAITING_TIME
+        cur = self._current
+        if cur is None:
+            return 0
+        expected = self.engine.get_expected_latency(cur.subgraph_key)
+        if expected < 0:
+            return LARGE_WAITING_TIME
+        if not cur.invoke_time:
+            return expected
+        return max(expected - (now_us() - cur.invoke_time), 0)

@@ -4,12 +4,20 @@ reference's desktop 2-CPU-worker fallback, tfl_subgraph_test.cc:40-50)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the environment pins a TPU platform (the dev
+# container presets JAX_PLATFORMS to the TPU plugin and the plugin
+# re-pins jax_platforms at import, so the config update below is needed
+# in addition to the env var)
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -26,7 +26,10 @@ def run_both(name, rng):
            for d in it.get_output_details()}
 
     g = parse_tflite_file(path)
-    prog = build_program(g, range(len(g.ops)), exact=True)
+    # f32_split is the conv mode engine uses on CPU backends; it must be
+    # just as bit-exact as the native int8 path
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode="f32_split")
     fn = jax.jit(prog.make_fn())
     params = {k: np.asarray(v) for k, v in prog.params.items()}
     outs = fn(params, [feeds[t] for t in prog.input_ids])
