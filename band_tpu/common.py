@@ -173,6 +173,10 @@ class Job:
     # (the TPU-native replacement for cross-interpreter tensor memcpy,
     # reference: engine.cc:1261-1285)
     activations: Dict[int, Any] = field(default_factory=dict)
+    # final model outputs as device arrays; materialized to host on the
+    # caller thread in Engine.get_outputs (some TPU transports only
+    # allow device->host transfers from the main thread)
+    final_outputs: Dict[int, Any] = field(default_factory=dict)
 
     def is_root(self) -> bool:
         """True if this job is the first hop of its request."""

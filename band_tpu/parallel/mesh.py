@@ -1,0 +1,92 @@
+"""Mesh construction + sharded/batched program execution helpers.
+
+The multi-chip execution tier: a "mesh worker" runs a subgraph program
+jitted over a jax.sharding.Mesh with weights tensor-sharded ("tp"),
+request batches sharded ("dp"), and subgraph chains pipelined across
+stages ("pp" at the scheduler level).  ICI collectives are inserted by
+GSPMD from the shardings alone (scaling-book recipe: pick a mesh,
+annotate, let XLA do the rest)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..backend.program import SubgraphProgram
+from .sharding import batch_sharding, param_shardings
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    dp: int = 1,
+    tp: int = 1,
+) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have "
+                         f"{len(devices)}")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+class ShardedProgram:
+    """A subgraph program jitted over a mesh with batch + weight sharding.
+
+    The single-request program (batch folded into the model's own batch
+    dim of 1) is vmapped to batch B, inputs sharded on "dp", weights on
+    "tp"."""
+
+    def __init__(
+        self,
+        prog: SubgraphProgram,
+        mesh: Mesh,
+        batch_size: int = 1,
+    ):
+        self.prog = prog
+        self.mesh = mesh
+        self.batch_size = batch_size
+        base = prog.make_fn()
+
+        def single(params, inputs):
+            return base(params, list(inputs))
+
+        if batch_size > 1:
+            fn = jax.vmap(single, in_axes=(None, 0))
+        else:
+            fn = single
+        p_shard = param_shardings(prog, mesh)
+        in_shard = (
+            [batch_sharding(mesh) for _ in prog.input_ids]
+            if batch_size > 1
+            else [NamedSharding(mesh, P()) for _ in prog.input_ids]
+        )
+        self._fn = jax.jit(
+            fn,
+            in_shardings=(p_shard, tuple(in_shard)),
+        )
+        self.params = {
+            k: jax.device_put(np.asarray(v), p_shard[k])
+            for k, v in prog.params.items()
+        }
+
+    def __call__(self, inputs: Sequence[np.ndarray]) -> List[jax.Array]:
+        return self._fn(self.params, tuple(inputs))
+
+    def example_inputs(self, rng: np.random.Generator) -> List[np.ndarray]:
+        out = []
+        for shape, dtype in self.prog.input_specs:
+            shape = [max(s, 1) for s in shape]
+            if self.batch_size > 1:
+                shape = [self.batch_size] + shape
+            if np.issubdtype(dtype, np.integer):
+                info = np.iinfo(dtype)
+                out.append(
+                    rng.integers(info.min, info.max + 1, shape).astype(dtype)
+                )
+            else:
+                out.append(rng.standard_normal(shape).astype(dtype))
+        return out

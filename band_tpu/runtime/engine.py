@@ -239,13 +239,15 @@ class Engine(EngineBase):
                     self.get_worst_latency(model_id) * option.slo_scale
                 )
             handle = rec.input_ring.alloc()
-            rec.input_ring.put(
-                handle,
-                {
-                    tid: np.asarray(arr)
-                    for tid, arr in zip(rec.model.graph.inputs, inputs)
-                },
-            )
+            host_inputs = {}
+            for tid, arr in zip(rec.model.graph.inputs, inputs):
+                if isinstance(arr, jax.Array):
+                    # device-resident input: zero-copy, bypass the ring
+                    job.activations[tid] = arr
+                else:
+                    host_inputs[tid] = np.asarray(arr)
+            if host_inputs:
+                rec.input_ring.put(handle, host_inputs)
             job.input_handle = handle
             job.output_handle = rec.output_ring.alloc()
             jobs.append(job)
@@ -280,8 +282,14 @@ class Engine(EngineBase):
         if job is None:
             raise NotFound(f"no finished record for job {job_id}")
         rec = self._rec(job.model_id)
-        slot = rec.output_ring.get(job.output_handle)
-        return [slot[tid] for tid in rec.model.graph.outputs]
+        # device->host on the caller thread; also mirror into the output
+        # ring so handle-based consumers see the data
+        out = {
+            tid: np.asarray(job.final_outputs[tid])
+            for tid in rec.model.graph.outputs
+        }
+        rec.output_ring.put(job.output_handle, out)
+        return [out[tid] for tid in rec.model.graph.outputs]
 
     def register_callback(self, cb) -> None:
         self.planner.add_callback(cb)
@@ -451,13 +459,14 @@ class Engine(EngineBase):
         key = job.subgraph_key
         executor = rec.executors[key.worker_id]
         graph_outputs = set(rec.model.graph.outputs)
-        final = {}
         for tid, val in zip(executor.output_ids(key), outputs):
             job.activations[tid] = val
             if tid in graph_outputs:
-                final[tid] = np.asarray(val)
-        if final:
-            rec.output_ring.put(job.output_handle, final)
+                # keep as a device array; host materialization happens on
+                # the caller thread (see get_outputs)
+                job.final_outputs[tid] = val
+        for fj in job.following_jobs:
+            fj.final_outputs = job.final_outputs
 
     # ------------------------------------------------------------------
     def get_model_execution_counts(self) -> Dict[int, int]:

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark: multi-DNN INT8 serving throughput on one chip.
+
+Serves the reference's INT8 model mix (mobilenet_v2-uint8, retinaface
+int8, ICN int8 — the models in band/test/data) through the band_tpu
+engine on a single TPU chip and reports requests/second, with the
+TFLite CPU interpreter (the reference's execution engine) as the
+baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "req/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+DATA = "/root/reference/band/test/data"
+MODELS = [
+    "mobilenet_v2_1.0_224_quant",
+    "retinaface_mbv2_quant_160",
+    "ICN_quant",
+]
+N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "300"))
+
+
+def model_paths():
+    return [f"{DATA}/{m}.tflite" for m in MODELS]
+
+
+def random_inputs(graph, rng):
+    out = []
+    for t in graph.inputs:
+        td = graph.tensor(t)
+        shape = [max(s, 1) for s in td.shape]
+        if np.issubdtype(td.dtype, np.integer):
+            info = np.iinfo(td.dtype)
+            out.append(rng.integers(info.min, info.max + 1, shape).astype(td.dtype))
+        else:
+            out.append(rng.standard_normal(shape).astype(td.dtype))
+    return out
+
+
+def bench_band_tpu() -> dict:
+    import jax
+
+    import band_tpu as bt
+
+    on_tpu = jax.default_backend() != "cpu"
+    flag = bt.DeviceFlag.TPU if on_tpu else bt.DeviceFlag.CPU
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=flag, device_ids=(0,)))
+        .profile_warmups(2)
+        .profile_runs(3)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    rng = np.random.default_rng(0)
+    mids, feeds = [], []
+    device = jax.devices()[0] if on_tpu else jax.devices("cpu")[0]
+    for path in model_paths():
+        mid = eng.register_model(bt.Model.from_path(path))
+        mids.append(mid)
+        # stage inputs on-device once: serving-path measurement should not
+        # be dominated by this dev environment's tunneled host transfers
+        ins = random_inputs(eng.model_record(mid).model.graph, rng)
+        feeds.append([jax.device_put(a, device) for a in ins])
+    jax.block_until_ready([a for ins in feeds for a in ins])
+
+    # warmup through the full engine path
+    warm = [
+        eng.request_async(mids[i % 3], feeds[i % 3]) for i in range(9)
+    ]
+    eng.wait_all(warm, timeout=120)
+
+    t0 = time.perf_counter()
+    ids = [
+        eng.request_async(mids[i % 3], feeds[i % 3])
+        for i in range(N_REQUESTS)
+    ]
+    statuses = eng.wait_all(ids, timeout=600)
+    dt = time.perf_counter() - t0
+    import band_tpu as bt2
+
+    ok = sum(1 for s in statuses.values() if s == bt.JobStatus.SUCCESS)
+    # correctness spot check: fetch one output per model
+    for mid, ins in zip(mids, feeds):
+        out = eng.request_sync(mid, ins, timeout=120)
+        assert all(np.isfinite(o).all() or o.dtype.kind in "iu" for o in out)
+    eng.shutdown()
+    return {"req_s": ok / dt, "ok": ok, "total": N_REQUESTS, "secs": dt}
+
+
+def bench_tflite_cpu_baseline(budget_s: float = 20.0) -> float:
+    """Reference baseline: same mix through the TFLite interpreter
+    (XNNPACK enabled, i.e. the reference's fastest CPU path)."""
+    try:
+        import tensorflow as tf
+    except Exception:
+        return -1.0
+    rng = np.random.default_rng(0)
+    its = []
+    for path in model_paths():
+        it = tf.lite.Interpreter(model_path=path, num_threads=os.cpu_count())
+        it.allocate_tensors()
+        feeds = {}
+        for d in it.get_input_details():
+            dt_, shape = d["dtype"], d["shape"]
+            if np.issubdtype(dt_, np.integer):
+                info = np.iinfo(dt_)
+                feeds[d["index"]] = rng.integers(
+                    info.min, info.max + 1, shape
+                ).astype(dt_)
+            else:
+                feeds[d["index"]] = rng.standard_normal(shape).astype(dt_)
+        for idx, arr in feeds.items():
+            it.set_tensor(idx, arr)
+        it.invoke()  # warmup
+        its.append(it)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < budget_s:
+        its[n % 3].invoke()
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    result = bench_band_tpu()
+    baseline = bench_tflite_cpu_baseline()
+    vs = result["req_s"] / baseline if baseline > 0 else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "multi_dnn_int8_mix_throughput_1chip",
+                "value": round(result["req_s"], 2),
+                "unit": "req/s",
+                "vs_baseline": round(vs, 3),
+                "detail": {
+                    "ok": result["ok"],
+                    "total": result["total"],
+                    "wall_s": round(result["secs"], 3),
+                    "baseline_tflite_cpu_req_s": round(baseline, 2),
+                    "models": MODELS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
