@@ -51,7 +51,7 @@ from .errors import (  # noqa: F401
 )
 from .ir.model import Model  # noqa: F401
 from .runtime.engine import Engine  # noqa: F401
-from .runtime.tensor import Tensor  # noqa: F401
+from .runtime.tensor import StagedInput, Tensor  # noqa: F401
 from .tracing.job_tracer import tracer  # noqa: F401
 
 __version__ = "0.1.0"

@@ -150,7 +150,17 @@ class ModelExecutor:
         if self._eager[key]:
             return self._execute_eager(prog, inputs)
         fn = self._fns[key]
-        return fn(self._params[key], list(inputs))
+        # canonicalize to committed device arrays so profiling (numpy
+        # zeros) and serving (staged device inputs) share one jit cache
+        # entry per subgraph
+        device = self.devices[0]
+        args = [
+            v
+            if isinstance(v, jax.Array)
+            else jax.device_put(np.asarray(v), device)
+            for v in inputs
+        ]
+        return fn(self._params[key], args)
 
     def _execute_eager(
         self, prog: SubgraphProgram, inputs: Sequence[np.ndarray]

@@ -259,12 +259,34 @@ class RuntimeConfigBuilder:
         return self._cfg
 
 
-def _parse_worker(entry: Any) -> WorkerSpec:
+# Legacy device names from reference configs (band mobile processors)
+# map onto our worker kinds: CPU stays a host worker, every mobile
+# accelerator becomes a TPU worker (script/config_samples/*.json run
+# unmodified this way).
+_LEGACY_DEVICES = {
+    "cpu": DeviceFlag.CPU,
+    "gpu": DeviceFlag.TPU,
+    "dsp": DeviceFlag.TPU,
+    "npu": DeviceFlag.TPU,
+    "tpu": DeviceFlag.TPU,
+    "tpu_mesh": DeviceFlag.TPU_MESH,
+}
+
+
+def _parse_device(name: str) -> DeviceFlag:
+    flag = _LEGACY_DEVICES.get(name.lower())
+    if flag is None:
+        raise ConfigError(f"unknown worker device {name!r}")
+    return flag
+
+
+def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
     if isinstance(entry, str):
-        return WorkerSpec(device=DeviceFlag(entry.lower()))
+        return WorkerSpec(device=_parse_device(entry),
+                          device_ids=(default_device_id,))
     return WorkerSpec(
-        device=DeviceFlag(entry.get("device", "tpu").lower()),
-        device_ids=tuple(entry.get("device_ids", [0])),
+        device=_parse_device(entry.get("device", "tpu")),
+        device_ids=tuple(entry.get("device_ids", [default_device_id])),
         mesh_shape=tuple(entry.get("mesh_shape", [])),
         mesh_axes=tuple(entry.get("mesh_axes", [])),
         dispatch_depth=entry.get("dispatch_depth", 2),
@@ -280,12 +302,15 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
     """
     b = RuntimeConfigBuilder()
     prof = d.get("profile", d)
-    if "online" in prof:
-        b.profile_online(bool(prof["online"]))
-    if "num_warmups" in prof:
-        b.profile_warmups(int(prof["num_warmups"]))
-    if "num_runs" in prof:
-        b.profile_runs(int(prof["num_runs"]))
+    for key in ("online", "profile_online"):
+        if key in prof:
+            b.profile_online(bool(prof[key]))
+    for key in ("num_warmups", "profile_warmup_runs", "profile_num_warmups"):
+        if key in prof:
+            b.profile_warmups(int(prof[key]))
+    for key in ("num_runs", "profile_num_runs"):
+        if key in prof:
+            b.profile_runs(int(prof[key]))
     for key in ("profile_data_path", "profile_path"):
         if key in prof:
             b.profile_data_path(prof[key])
@@ -301,10 +326,24 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
         b.schedule_window_size(int(planner["schedule_window_size"]))
     if "log_path" in planner:
         b.planner_log_path(planner["log_path"])
+    if "availability_check_interval_ms" in d:
+        b.availability_check_interval_ms(
+            int(d["availability_check_interval_ms"])
+        )
 
     workers = d.get("workers", [])
+    n_cpu = 0
+    n_tpu = 0
     for w in workers:
-        b.add_worker(_parse_worker(w))
+        dev = (w if isinstance(w, str) else w.get("device", "tpu")).lower()
+        if _parse_device(dev) == DeviceFlag.CPU:
+            spec = _parse_worker(w, default_device_id=n_cpu)
+            n_cpu += 1
+        else:
+            # single-chip default: accelerator workers share device 0
+            spec = _parse_worker(w, default_device_id=0)
+            n_tpu += 1
+        b.add_worker(spec)
 
     sub = d.get("subgraph", d)
     if "minimum_subgraph_size" in sub:

@@ -39,6 +39,7 @@ from .engine_interface import EngineBase
 from .latency_estimator import LatencyEstimator
 from .planner import Planner
 from .ring_buffer import TensorRingBuffer
+from .tensor import StagedInput
 from .worker import DeviceQueueWorker, GlobalQueueWorker, Worker
 
 
@@ -108,13 +109,16 @@ class Engine(EngineBase):
             pool = jax.devices("cpu")
         else:
             pool = jax.devices()
-        try:
-            return [pool[i] for i in spec.device_ids]
-        except IndexError:
+        if not pool:
+            raise ConfigError(f"no devices for {spec.device.value} worker")
+        if spec.is_mesh and max(spec.device_ids) >= len(pool):
             raise ConfigError(
-                f"worker wants devices {spec.device_ids} but only "
+                f"mesh worker wants devices {spec.device_ids} but only "
                 f"{len(pool)} present"
             )
+        # single-device workers wrap around so reference configs with more
+        # workers than local devices still run (workers share a device)
+        return [pool[i % len(pool)] for i in spec.device_ids]
 
     def _worker_is_host(self, worker_id: int) -> bool:
         return self.config.worker.workers[worker_id].device == DeviceFlag.CPU
@@ -241,7 +245,7 @@ class Engine(EngineBase):
             handle = rec.input_ring.alloc()
             host_inputs = {}
             for tid, arr in zip(rec.model.graph.inputs, inputs):
-                if isinstance(arr, jax.Array):
+                if isinstance(arr, (jax.Array, StagedInput)):
                     # device-resident input: zero-copy, bypass the ring
                     job.activations[tid] = arr
                 else:
@@ -288,7 +292,8 @@ class Engine(EngineBase):
             tid: np.asarray(job.final_outputs[tid])
             for tid in rec.model.graph.outputs
         }
-        rec.output_ring.put(job.output_handle, out)
+        if rec.output_ring.is_valid(job.output_handle):
+            rec.output_ring.put(job.output_handle, out)
         return [out[tid] for tid in rec.model.graph.outputs]
 
     def register_callback(self, cb) -> None:
@@ -435,15 +440,23 @@ class Engine(EngineBase):
         executor = rec.executors[key.worker_id]
         device = self._worker_devices[key.worker_id][0]
         graph_inputs = set(rec.model.graph.inputs)
-        ring = rec.input_ring.view(job.input_handle)
+        ring = None  # resolved lazily: fully device-staged jobs skip it
         inputs = []
         for tid in executor.input_ids(key):
             if tid in job.activations:
                 val = job.activations[tid]
-                if isinstance(val, jax.Array):
+                if isinstance(val, StagedInput):
+                    val = val.for_device(device)
+                elif (
+                    isinstance(val, jax.Array)
+                    and getattr(val, "sharding", None) is not None
+                    and val.sharding.device_set != {device}
+                ):
                     val = jax.device_put(val, device)
                 inputs.append(val)
             elif tid in graph_inputs:
+                if ring is None:
+                    ring = rec.input_ring.view(job.input_handle)
                 inputs.append(ring[tid])
             else:
                 raise NotFound(

@@ -59,3 +59,7 @@ class TensorRingBuffer:
     def view(self, handle: int) -> Dict[int, np.ndarray]:
         """Zero-copy view of the slot (worker-side read)."""
         return self._slot(handle)
+
+    def is_valid(self, handle: int) -> bool:
+        with self._lock:
+            return 0 <= handle < self._head and handle >= self._head - self._size

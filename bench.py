@@ -71,8 +71,9 @@ def bench_band_tpu() -> dict:
         # stage inputs on-device once: serving-path measurement should not
         # be dominated by this dev environment's tunneled host transfers
         ins = random_inputs(eng.model_record(mid).model.graph, rng)
-        feeds.append([jax.device_put(a, device) for a in ins])
-    jax.block_until_ready([a for ins in feeds for a in ins])
+        from band_tpu.runtime.tensor import StagedInput
+
+        feeds.append([StagedInput(a).stage(device) for a in ins])
 
     # warmup through the full engine path
     warm = [
