@@ -1,0 +1,150 @@
+// Native image kernels: the libyuv analogue of the reference's data
+// plane (band/buffer/libyuv_image_operator.cc).  Exported as a plain C
+// ABI consumed through ctypes; each kernel is a tight loop the compiler
+// auto-vectorizes.  Build: band_tpu/buffer/native/build.py.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+extern "C" {
+
+// Bilinear resize, uint8 interleaved HxWxC -> OHxOWxC.
+// half_pixel source mapping (matches the Python fallback).
+void resize_bilinear_u8(const uint8_t* src, int sh, int sw, int c,
+                        uint8_t* dst, int dh, int dw) {
+  const float scale_h = static_cast<float>(sh) / dh;
+  const float scale_w = static_cast<float>(sw) / dw;
+  for (int oy = 0; oy < dh; ++oy) {
+    float fy = (oy + 0.5f) * scale_h - 0.5f;
+    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
+    if (y0 > sh - 1) y0 = sh - 1;
+    int y1 = std::min(y0 + 1, sh - 1);
+    float wy = fy - y0;
+    if (wy < 0) wy = 0;
+    for (int ox = 0; ox < dw; ++ox) {
+      float fx = (ox + 0.5f) * scale_w - 0.5f;
+      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+      if (x0 > sw - 1) x0 = sw - 1;
+      int x1 = std::min(x0 + 1, sw - 1);
+      float wx = fx - x0;
+      if (wx < 0) wx = 0;
+      const uint8_t* p00 = src + (y0 * sw + x0) * c;
+      const uint8_t* p01 = src + (y0 * sw + x1) * c;
+      const uint8_t* p10 = src + (y1 * sw + x0) * c;
+      const uint8_t* p11 = src + (y1 * sw + x1) * c;
+      uint8_t* out = dst + (oy * dw + ox) * c;
+      for (int k = 0; k < c; ++k) {
+        float top = p00[k] + (p01[k] - p00[k]) * wx;
+        float bot = p10[k] + (p11[k] - p10[k]) * wx;
+        float v = top + (bot - top) * wy;
+        int iv = static_cast<int>(v + 0.5f);
+        out[k] = static_cast<uint8_t>(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+      }
+    }
+  }
+}
+
+// Nearest resize, uint8 interleaved.
+void resize_nearest_u8(const uint8_t* src, int sh, int sw, int c,
+                       uint8_t* dst, int dh, int dw) {
+  for (int oy = 0; oy < dh; ++oy) {
+    int sy = std::min(static_cast<int>(oy * static_cast<int64_t>(sh) / dh),
+                      sh - 1);
+    for (int ox = 0; ox < dw; ++ox) {
+      int sx = std::min(static_cast<int>(ox * static_cast<int64_t>(sw) / dw),
+                        sw - 1);
+      std::memcpy(dst + (oy * dw + ox) * c, src + (sy * sw + sx) * c, c);
+    }
+  }
+}
+
+// BT.601 studio-swing YUV -> RGB for one pixel (libyuv-compatible
+// fixed point: R = 1.164(Y-16) + 1.596(V-128), ...)
+static inline void yuv_to_rgb_px(int y, int u, int v, uint8_t* out) {
+  int c = y - 16, d = u - 128, e = v - 128;
+  int r = (298 * c + 409 * e + 128) >> 8;
+  int g = (298 * c - 100 * d - 208 * e + 128) >> 8;
+  int b = (298 * c + 516 * d + 128) >> 8;
+  out[0] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
+  out[1] = static_cast<uint8_t>(g < 0 ? 0 : (g > 255 ? 255 : g));
+  out[2] = static_cast<uint8_t>(b < 0 ? 0 : (b > 255 ? 255 : b));
+}
+
+// NV12/NV21 (semiplanar) -> RGB. uv_order: 0 = UV (NV12), 1 = VU (NV21)
+void nv_to_rgb_u8(const uint8_t* y_plane, const uint8_t* uv_plane, int h,
+                  int w, int uv_order, uint8_t* dst) {
+  for (int yy = 0; yy < h; ++yy) {
+    const uint8_t* uv_row = uv_plane + (yy / 2) * w;
+    for (int xx = 0; xx < w; ++xx) {
+      int uv_idx = (xx / 2) * 2;
+      int u = uv_row[uv_idx + (uv_order ? 1 : 0)];
+      int v = uv_row[uv_idx + (uv_order ? 0 : 1)];
+      yuv_to_rgb_px(y_plane[yy * w + xx], u, v, dst + (yy * w + xx) * 3);
+    }
+  }
+}
+
+// I420/YV12 (planar) -> RGB
+void i420_to_rgb_u8(const uint8_t* y_plane, const uint8_t* u_plane,
+                    const uint8_t* v_plane, int h, int w, uint8_t* dst) {
+  int half_w = w / 2;
+  for (int yy = 0; yy < h; ++yy) {
+    const uint8_t* urow = u_plane + (yy / 2) * half_w;
+    const uint8_t* vrow = v_plane + (yy / 2) * half_w;
+    for (int xx = 0; xx < w; ++xx) {
+      yuv_to_rgb_px(y_plane[yy * w + xx], urow[xx / 2], vrow[xx / 2],
+                    dst + (yy * w + xx) * 3);
+    }
+  }
+}
+
+// RGB -> GRAY (libyuv/BT.601 luma: (66R + 129G + 25B + 128) >> 8 + 16)
+void rgb_to_gray_u8(const uint8_t* src, int n_px, uint8_t* dst) {
+  for (int i = 0; i < n_px; ++i) {
+    const uint8_t* p = src + i * 3;
+    int yv = ((66 * p[0] + 129 * p[1] + 25 * p[2] + 128) >> 8) + 16;
+    dst[i] = static_cast<uint8_t>(yv < 0 ? 0 : (yv > 255 ? 255 : yv));
+  }
+}
+
+// Rotate interleaved uint8 by 90*k degrees counterclockwise.
+void rotate_u8(const uint8_t* src, int h, int w, int c, int k, uint8_t* dst) {
+  k = ((k % 4) + 4) % 4;
+  if (k == 0) {
+    std::memcpy(dst, src, static_cast<size_t>(h) * w * c);
+    return;
+  }
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int oy, ox, oh = (k % 2) ? w : h, ow = (k % 2) ? h : w;
+      if (k == 1) { oy = w - 1 - x; ox = y; }
+      else if (k == 2) { oy = h - 1 - y; ox = w - 1 - x; }
+      else { oy = x; ox = h - 1 - y; }
+      std::memcpy(dst + (oy * ow + ox) * c, src + (y * w + x) * c, c);
+      (void)oh;
+    }
+  }
+}
+
+// Horizontal / vertical flip
+void flip_u8(const uint8_t* src, int h, int w, int c, int horizontal,
+             uint8_t* dst) {
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int sy = horizontal ? y : (h - 1 - y);
+      int sx = horizontal ? (w - 1 - x) : x;
+      std::memcpy(dst + (y * w + x) * c, src + (sy * w + sx) * c, c);
+    }
+  }
+}
+
+// Normalize uint8 -> float32: (x - mean) / std
+void normalize_u8_f32(const uint8_t* src, int n, float mean, float inv_std,
+                      float* dst) {
+  for (int i = 0; i < n; ++i) {
+    dst[i] = (src[i] - mean) * inv_std;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,143 @@
+"""ResourceMonitor: background polling of host + device health metrics.
+
+TPU-native re-imagining of the reference's sysfs poller
+(band/resource_monitor.{h,cc}: thermal zones / cpufreq / devfreq into
+double-buffered status maps with update callbacks).  Here the sources
+are host sysfs (where present), /proc loadavg + meminfo, and JAX device
+memory stats (HBM usage per chip); the double-buffered snapshot +
+callback registration semantics are preserved so thermal/memory-aware
+scheduling policies can subscribe (the reference wired this but no
+scheduler consumed it; ours exposes the same hook)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+StatusMap = Dict[str, float]
+UpdateCallback = Callable[[StatusMap], None]
+
+
+def _read_float(path: str) -> Optional[float]:
+    try:
+        with open(path) as f:
+            return float(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+class ResourceMonitor:
+    def __init__(
+        self,
+        interval_ms: int = 1000,
+        log_path: str = "",
+        devices: Optional[list] = None,
+    ):
+        self._interval = interval_ms / 1000.0
+        self._log_path = log_path
+        self._devices = devices
+        self._callbacks: List[UpdateCallback] = []
+        # double-buffered snapshots with head swap (reference:
+        # resource_monitor.h:129-133)
+        self._buffers: List[StatusMap] = [{}, {}]
+        self._head = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._thermal_zones = sorted(
+            glob.glob("/sys/class/thermal/thermal_zone*/temp")
+        )
+        self._cpufreq = sorted(
+            glob.glob("/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq")
+        )
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._loop, name="band-resource-monitor", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def add_callback(self, cb: UpdateCallback) -> None:
+        self._callbacks.append(cb)
+
+    def status(self) -> StatusMap:
+        """Latest snapshot (lock-free read of the stable buffer)."""
+        return dict(self._buffers[self._head])
+
+    # ------------------------------------------------------------------
+    def _collect(self) -> StatusMap:
+        out: StatusMap = {"ts": time.time()}
+        for i, p in enumerate(self._thermal_zones):
+            v = _read_float(p)
+            if v is not None:
+                out[f"thermal_zone{i}_mC"] = v
+        for p in self._cpufreq:
+            cpu = p.split("/")[5]
+            v = _read_float(p)
+            if v is not None:
+                out[f"{cpu}_khz"] = v
+        try:
+            load1, load5, load15 = os.getloadavg()
+            out["loadavg_1m"] = load1
+        except OSError:
+            pass
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith(("MemAvailable", "MemTotal")):
+                        k, v = line.split(":")
+                        out[k.strip().lower() + "_kb"] = float(
+                            v.strip().split()[0]
+                        )
+        except OSError:
+            pass
+        # device (HBM) memory stats via PJRT, where the backend exposes them
+        if self._devices:
+            for d in self._devices:
+                try:
+                    stats = d.memory_stats()
+                except Exception:
+                    continue
+                if not stats:
+                    continue
+                did = getattr(d, "id", 0)
+                if "bytes_in_use" in stats:
+                    out[f"dev{did}_hbm_in_use_bytes"] = float(
+                        stats["bytes_in_use"]
+                    )
+                if "bytes_limit" in stats:
+                    out[f"dev{did}_hbm_limit_bytes"] = float(
+                        stats["bytes_limit"]
+                    )
+        return out
+
+    def _loop(self) -> None:
+        log_f = open(self._log_path, "a") if self._log_path else None
+        try:
+            while not self._stop.wait(self._interval):
+                snap = self._collect()
+                back = 1 - self._head
+                self._buffers[back] = snap
+                self._head = back  # atomic head swap
+                for cb in self._callbacks:
+                    try:
+                        cb(snap)
+                    except Exception:
+                        pass
+                if log_f:
+                    import json
+
+                    log_f.write(json.dumps(snap) + "\n")
+                    log_f.flush()
+        finally:
+            if log_f:
+                log_f.close()

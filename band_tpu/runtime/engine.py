@@ -90,6 +90,17 @@ class Engine(EngineBase):
         for w in self.workers:
             w.start()
 
+        self.resource_monitor = None
+        if config.monitor.enable:
+            from ..monitor.resource_monitor import ResourceMonitor
+
+            self.resource_monitor = ResourceMonitor(
+                interval_ms=config.monitor.monitor_interval_ms,
+                log_path=config.monitor.log_path,
+                devices=[d for devs in self._worker_devices for d in devs],
+            )
+            self.resource_monitor.start()
+
         self.planner = Planner(self, config.planner)
 
     # ------------------------------------------------------------------
@@ -101,6 +112,8 @@ class Engine(EngineBase):
         self.planner.stop()
         for w in self.workers:
             w.stop()
+        if self.resource_monitor is not None:
+            self.resource_monitor.stop()
         if self.config.profile.profile_data_path:
             self.latency_estimator.dump_profile()
 

@@ -1,0 +1,147 @@
+"""Image operator tests (reference: band/test/image_operation_test.cc:
+crop/convert/rotate/resize against loaded images)."""
+
+import numpy as np
+import pytest
+
+from band_tpu.buffer.buffer import Buffer, BufferFormat, BufferOrientation
+from band_tpu.buffer.image_ops import (
+    AutoConvert,
+    ColorSpaceConvert,
+    Crop,
+    Flip,
+    Normalize,
+    Resize,
+    Rotate,
+)
+from band_tpu.buffer.native import load as load_native
+from band_tpu.buffer.processor import ImageProcessorBuilder
+
+HIPPO = "/root/reference/band/test/data/hippo.jpg"
+
+
+def _load_hippo():
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL unavailable")
+    import os
+
+    if not os.path.exists(HIPPO):
+        pytest.skip("reference image unavailable")
+    return np.asarray(Image.open(HIPPO).convert("RGB"))
+
+
+def test_native_kernels_build():
+    assert load_native() is not None
+
+
+def test_crop(rng):
+    img = rng.integers(0, 256, (40, 60, 3)).astype(np.uint8)
+    buf = Buffer.from_numpy(img)
+    out = Crop(10, 5, 29, 24).process(buf)
+    assert out.width == 20 and out.height == 20
+    np.testing.assert_array_equal(out.array(), img[5:25, 10:30])
+
+
+def test_crop_out_of_bounds():
+    buf = Buffer.from_numpy(np.zeros((10, 10, 3), np.uint8))
+    with pytest.raises(Exception):
+        Crop(0, 0, 10, 10).process(buf)
+
+
+def test_resize_native_matches_numpy(rng):
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    buf = Buffer.from_numpy(img)
+    native = Resize(24, 16).process(buf).array()
+    ref = Resize(24, 16)._numpy_resize(img)
+    d = np.abs(native.astype(int) - ref.astype(int))
+    assert d.max() <= 1  # float rounding at texel boundaries
+
+
+def test_rotate_matches_rot90(rng):
+    img = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    buf = Buffer.from_numpy(img)
+    for k, deg in enumerate([0, 90, 180, 270]):
+        out = Rotate(deg).process(buf).array()
+        np.testing.assert_array_equal(out, np.rot90(img, k))
+
+
+def test_flip(rng):
+    img = rng.integers(0, 256, (8, 12, 3)).astype(np.uint8)
+    buf = Buffer.from_numpy(img)
+    np.testing.assert_array_equal(
+        Flip(True).process(buf).array(), img[:, ::-1]
+    )
+    np.testing.assert_array_equal(
+        Flip(False).process(buf).array(), img[::-1]
+    )
+
+
+def test_yuv_roundtrip(rng):
+    """RGB -> I420 -> RGB stays close on a smooth image (4:2:0 chroma
+    subsampling makes random images the worst case, so use gradients)."""
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack(
+        [30 + 10 * yy, 60 + 8 * xx, 100 + 4 * (yy + xx)], axis=-1
+    ).astype(np.uint8)
+    # forward conversion (BT.601 studio swing)
+    r, g, b = [rgb[..., i].astype(np.float64) for i in range(3)]
+    y = np.clip(16 + 0.257 * r + 0.504 * g + 0.098 * b, 0, 255)
+    u = np.clip(128 - 0.148 * r - 0.291 * g + 0.439 * b, 0, 255)
+    v = np.clip(128 + 0.439 * r - 0.368 * g - 0.071 * b, 0, 255)
+    u2 = u.reshape(8, 2, 8, 2).mean((1, 3))
+    v2 = v.reshape(8, 2, 8, 2).mean((1, 3))
+    buf = Buffer.from_yuv(
+        y.astype(np.uint8), u2.astype(np.uint8), v2.astype(np.uint8),
+        BufferFormat.YV21,
+    )
+    out = ColorSpaceConvert(BufferFormat.RGB).process(buf).array()
+    err = np.abs(out.astype(int) - rgb.astype(int)).mean()
+    assert err < 12  # chroma subsampling + fixed point
+
+
+def test_nv12_matches_planar(rng):
+    h, w = 16, 16
+    y = rng.integers(16, 235, (h, w)).astype(np.uint8)
+    u = rng.integers(16, 240, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(16, 240, (h // 2, w // 2)).astype(np.uint8)
+    planar = Buffer.from_yuv(y, u, v, BufferFormat.YV21)
+    uv = np.empty((h // 2, w), np.uint8)
+    uv[:, 0::2] = u
+    uv[:, 1::2] = v
+    semi = Buffer.from_yuv(y, uv, None, BufferFormat.NV12)
+    a = ColorSpaceConvert(BufferFormat.RGB).process(planar).array()
+    b = ColorSpaceConvert(BufferFormat.RGB).process(semi).array()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_normalize(rng):
+    img = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)
+    out = Normalize(127.5, 127.5).process(Buffer.from_numpy(img)).array()
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, (img.astype(np.float32) - 127.5) / 127.5,
+                               atol=1e-5)
+
+
+def test_auto_convert_pipeline():
+    img = _load_hippo()
+    buf = Buffer.from_numpy(img, orientation=BufferOrientation.RIGHT_TOP)
+    out = AutoConvert((1, 224, 224, 3), np.uint8).process(buf)
+    assert out.array().shape == (224, 224, 3)
+    assert out.array().dtype == np.uint8
+
+
+def test_processor_to_tensor():
+    img = _load_hippo()
+    proc = (
+        ImageProcessorBuilder()
+        .add_crop(0, 0, 255, 255)
+        .add_resize(160, 160)
+        .add_normalize(127.5, 127.5)
+        .build()
+    )
+    tensor = proc.to_tensor(Buffer.from_numpy(img))
+    assert tensor.shape == (1, 160, 160, 3)
+    assert tensor.dtype == np.float32
+    assert abs(tensor).max() <= 1.0 + 1e-5
