@@ -55,6 +55,7 @@ class ModelExecutor:
         self._fns: Dict[SubgraphKey, object] = {}
         self._params: Dict[SubgraphKey, Dict[str, jax.Array]] = {}
         self._eager: Dict[SubgraphKey, bool] = {}
+        self._batched: Dict[SubgraphKey, Dict[int, object]] = {}
 
     # ------------------------------------------------------------------
     def prepare_subgraph(
@@ -80,6 +81,17 @@ class ModelExecutor:
             eager = True
             fn = None
             params = {k: np.asarray(v) for k, v in prog.params.items()}
+        elif len(self.devices) > 1:
+            # mesh worker: weights tensor-sharded over the device group
+            from ..parallel.mesh import ShardedProgram, make_mesh
+
+            prog = build_program(self.graph, op_indices, exact=self.exact,
+                                 conv_mode=self.conv_mode)
+            mesh = make_mesh(self.devices, dp=1, tp=len(self.devices))
+            sp = ShardedProgram(prog, mesh, batch_size=1)
+            eager = False
+            fn = sp
+            params = sp.params
         else:
             prog = build_program(self.graph, op_indices, exact=self.exact,
                                  conv_mode=self.conv_mode)
@@ -150,6 +162,14 @@ class ModelExecutor:
         if self._eager[key]:
             return self._execute_eager(prog, inputs)
         fn = self._fns[key]
+        if len(self.devices) > 1:
+            # mesh path: the jitted fn has explicit in_shardings and
+            # reshards host/device arrays itself
+            args = tuple(
+                v if isinstance(v, jax.Array) else np.asarray(v)
+                for v in inputs
+            )
+            return fn._fn(self._params[key], args)
         # canonicalize to committed device arrays so profiling (numpy
         # zeros) and serving (staged device inputs) share one jit cache
         # entry per subgraph
@@ -161,6 +181,47 @@ class ModelExecutor:
             for v in inputs
         ]
         return fn(self._params[key], args)
+
+    def execute_batched(
+        self, key: SubgraphKey, inputs_batch: Sequence[Sequence]
+    ) -> List[List[jax.Array]]:
+        """Run B same-subgraph requests as one vmapped dispatch
+        (continuous batching).  Returns per-request output lists."""
+        B = len(inputs_batch)
+        if B == 1:
+            return [self.execute(key, inputs_batch[0])]
+        prog = self._programs[key]
+        if self._eager[key] or len(self.devices) > 1:
+            return [self.execute(key, ins) for ins in inputs_batch]
+        # bucket to the next power of two (pad with the first request) so
+        # at most log2(max_batch) executables exist per subgraph
+        bucket = 1 << (B - 1).bit_length()
+        fn = self._batched_fn(key, bucket)
+        import jax.numpy as jnp
+
+        device = self.devices[0]
+        stacked = []
+        for pos in range(len(prog.input_ids)):
+            vals = [
+                v
+                if isinstance(v, jax.Array)
+                else jax.device_put(np.asarray(v), device)
+                for v in (ins[pos] for ins in inputs_batch)
+            ]
+            vals.extend([vals[0]] * (bucket - B))
+            stacked.append(jnp.stack(vals))
+        outs = fn(self._params[key], stacked)
+        return [[o[b] for o in outs] for b in range(B)]
+
+    def _batched_fn(self, key: SubgraphKey, batch: int):
+        with self._lock:
+            cache = self._batched.setdefault(key, {})
+            if batch not in cache:
+                base = self._programs[key].make_fn()
+                cache[batch] = jax.jit(
+                    jax.vmap(base, in_axes=(None, 0))
+                )
+            return cache[batch]
 
     def _execute_eager(
         self, prog: SubgraphProgram, inputs: Sequence[np.ndarray]

@@ -100,6 +100,9 @@ class WorkerSpec:
     mesh_axes: Tuple[str, ...] = ()
     # max dispatches in flight before the feeder thread blocks
     dispatch_depth: int = 2
+    # continuous batching: up to this many queued same-subgraph requests
+    # are merged into one batched (vmapped) dispatch
+    max_batch: int = 1
 
     def validate(self) -> None:
         if not self.device_ids:

@@ -220,6 +220,16 @@ class Engine(EngineBase):
                     jax.block_until_ready(executor.execute(key, inputs))
 
                 self.latency_estimator.profile(key, invoke)
+                # pre-compile continuous-batching buckets so serving never
+                # pays a jit at dispatch time (reference: everything
+                # compiles at RegisterModel / AllocateTensors)
+                max_batch = self.config.worker.workers[key.worker_id].max_batch
+                bucket = 2
+                while bucket <= max_batch:
+                    jax.block_until_ready(
+                        executor.execute_batched(key, [inputs] * bucket)
+                    )
+                    bucket *= 2
         finally:
             for w in self.workers:
                 w.resume()
@@ -444,6 +454,12 @@ class Engine(EngineBase):
     def invoke(self, key: SubgraphKey, inputs: List[np.ndarray]) -> List:
         rec = self._rec(key.model_id)
         return rec.executors[key.worker_id].execute(key, inputs)
+
+    def invoke_batched(
+        self, key: SubgraphKey, inputs_list: List[List[np.ndarray]]
+    ) -> List[List]:
+        rec = self._rec(key.model_id)
+        return rec.executors[key.worker_id].execute_batched(key, inputs_list)
 
     def try_copy_input_tensors(self, job: Job) -> List[np.ndarray]:
         """Assemble subgraph inputs from the ring slot (graph inputs) and

@@ -101,6 +101,12 @@ class EngineBase(abc.ABC):
     def invoke(self, key: SubgraphKey, inputs: List[np.ndarray]) -> List:
         ...
 
+    def invoke_batched(
+        self, key: SubgraphKey, inputs_list: List[List[np.ndarray]]
+    ) -> List[List]:
+        """Continuous-batching dispatch; default falls back to serial."""
+        return [self.invoke(key, ins) for ins in inputs_list]
+
     @abc.abstractmethod
     def try_copy_input_tensors(self, job: Job) -> List[np.ndarray]:
         """Assemble the subgraph's inputs from the input ring buffer and

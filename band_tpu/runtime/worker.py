@@ -103,6 +103,10 @@ class Worker:
     def _dequeue(self) -> Optional[Job]:
         raise NotImplementedError
 
+    def _dequeue_many(self) -> List[Job]:
+        job = self._dequeue()
+        return [job] if job is not None else []
+
     def _requeue_all(self) -> List[Job]:
         raise NotImplementedError
 
@@ -116,12 +120,15 @@ class Worker:
                     self._cv.wait(timeout=0.1)
                 if self._kill:
                     return
-                job = self._dequeue()
-                if job is None:
+                jobs = self._dequeue_many()
+                if not jobs:
                     continue
                 self._processing = True
             try:
-                self._process(job)
+                if len(jobs) == 1:
+                    self._process(jobs[0])
+                else:
+                    self._process_batch(jobs)
             finally:
                 with self._idle_cv:
                     self._processing = False
@@ -151,6 +158,9 @@ class Worker:
             self.engine.enqueue_finished_job(job)
             return
 
+        self._complete(job, outputs)
+
+    def _complete(self, job: Job, outputs) -> None:
         if job.following_jobs:
             # pipeline continuation: hand boundary activations to the next hop
             self.engine.try_copy_output_tensors(job, outputs)
@@ -161,6 +171,35 @@ class Worker:
             self.engine.try_copy_output_tensors(job, outputs)
             job.status = JobStatus.SUCCESS
             self.engine.enqueue_finished_job(job)
+
+    def _process_batch(self, jobs: List[Job]) -> None:
+        """Continuous batching: same-subgraph jobs as one vmapped dispatch."""
+        key = jobs[0].subgraph_key
+        try:
+            inputs_list = [
+                self.engine.try_copy_input_tensors(j) for j in jobs
+            ]
+            start = now_us()
+            for j in jobs:
+                j.invoke_time = start
+                tracer().begin_subgraph(j)
+            outputs_list = self.engine.invoke_batched(key, inputs_list)
+            outputs_list = jax.block_until_ready(outputs_list)
+            end = now_us()
+            latency = end - start
+            self.engine.update_latency(key, latency)
+            for j in jobs:
+                j.end_time = end
+                j.profiled_execution_time = latency
+                tracer().end_subgraph(j)
+        except Exception:
+            for j in jobs:
+                j.status = JobStatus.INVOKE_FAILURE
+                j.end_time = now_us()
+                self.engine.enqueue_finished_job(j)
+            return
+        for j, outs in zip(jobs, outputs_list):
+            self._complete(j, outs)
 
     def _handle_device_error(self, job: Job) -> None:
         """Throttle + give jobs back to the planner (reference:
@@ -197,6 +236,22 @@ class DeviceQueueWorker(Worker):
             return None
         self._current = self._queue.popleft()
         return self._current
+
+    def _dequeue_many(self) -> List[Job]:
+        """Pop the head job plus up to max_batch-1 queued jobs with the
+        same subgraph key (continuous batching window)."""
+        job = self._dequeue()
+        if job is None:
+            return []
+        jobs = [job]
+        limit = max(self.spec.max_batch, 1)
+        while (
+            len(jobs) < limit
+            and self._queue
+            and self._queue[0].subgraph_key == job.subgraph_key
+        ):
+            jobs.append(self._queue.popleft())
+        return jobs
 
     def _requeue_all(self) -> List[Job]:
         with self._cv:

@@ -56,7 +56,7 @@ def bench_band_tpu() -> dict:
     cfg = (
         bt.RuntimeConfigBuilder()
         .add_scheduler(bt.SchedulerType.FIXED_WORKER)
-        .add_worker(bt.WorkerSpec(device=flag, device_ids=(0,)))
+        .add_worker(bt.WorkerSpec(device=flag, device_ids=(0,), max_batch=8))
         .profile_warmups(2)
         .profile_runs(3)
         .build()
@@ -82,10 +82,14 @@ def bench_band_tpu() -> dict:
     eng.wait_all(warm, timeout=120)
 
     t0 = time.perf_counter()
-    ids = [
-        eng.request_async(mids[i % 3], feeds[i % 3])
-        for i in range(N_REQUESTS)
-    ]
+    ids = []
+    burst = 8
+    i = 0
+    while len(ids) < N_REQUESTS:
+        m = (i // burst) % 3
+        n = min(burst, N_REQUESTS - len(ids))
+        ids += eng.request_async_batch([mids[m]] * n, [feeds[m]] * n)
+        i += n
     statuses = eng.wait_all(ids, timeout=600)
     dt = time.perf_counter() - t0
     import band_tpu as bt2

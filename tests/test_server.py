@@ -1,0 +1,78 @@
+"""HTTP front-end test: register + request over the wire."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import band_tpu as bt
+from band_tpu.tools.server import decode_tensor, encode_tensor, serve
+from tests.conftest import has_model, model_path
+
+
+@pytest.fixture
+def server():
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    es, httpd = serve(cfg, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+    es.shutdown()
+
+
+def _call(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_server_round_trip(server, rng):
+    status, health = _call(f"{server}/health")
+    assert status == 200 and health["status"] == "ok"
+
+    status, reg = _call(
+        f"{server}/models", "POST", {"path": model_path("add")}
+    )
+    assert status == 200
+    mid = reg["model_id"]
+
+    status, models = _call(f"{server}/models")
+    assert str(mid) in models or mid in models
+
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    status, out = _call(
+        f"{server}/request",
+        "POST",
+        {"model_id": mid, "inputs": [encode_tensor(x)], "sync": True},
+    )
+    assert status == 200
+    y = decode_tensor(out["outputs"][0])
+    np.testing.assert_allclose(y, 3 * x, rtol=1e-5)
+
+    status, stats = _call(f"{server}/stats")
+    assert status == 200
+    assert stats["execution_counts"]
+
+
+def test_server_bad_request(server):
+    status, resp = _call(f"{server}/request", "POST", {"model_id": 99,
+                                                       "inputs": []})
+    assert status in (400, 500)
