@@ -197,30 +197,42 @@ class ModelExecutor:
         # at most log2(max_batch) executables exist per subgraph
         bucket = 1 << (B - 1).bit_length()
         fn = self._batched_fn(key, bucket)
-        import jax.numpy as jnp
-
         device = self.devices[0]
-        stacked = []
-        for pos in range(len(prog.input_ids)):
-            vals = [
+        padded = list(inputs_batch) + [inputs_batch[0]] * (bucket - B)
+        args = tuple(
+            tuple(
                 v
                 if isinstance(v, jax.Array)
                 else jax.device_put(np.asarray(v), device)
-                for v in (ins[pos] for ins in inputs_batch)
-            ]
-            vals.extend([vals[0]] * (bucket - B))
-            stacked.append(jnp.stack(vals))
-        outs = fn(self._params[key], stacked)
-        return [[o[b] for o in outs] for b in range(B)]
+                for v in ins
+            )
+            for ins in padded
+        )
+        outs = fn(self._params[key], args)
+        return [list(outs[b]) for b in range(B)]
 
     def _batched_fn(self, key: SubgraphKey, batch: int):
+        """One executable per (subgraph, bucket): stacks the requests,
+        vmaps the program, and splits outputs per request — all inside
+        one dispatch (no per-request slice ops on the host)."""
         with self._lock:
             cache = self._batched.setdefault(key, {})
             if batch not in cache:
                 base = self._programs[key].make_fn()
-                cache[batch] = jax.jit(
-                    jax.vmap(base, in_axes=(None, 0))
-                )
+                import jax.numpy as jnp
+
+                def fn(params, inputs_batch):
+                    n_pos = len(inputs_batch[0])
+                    stacked = [
+                        jnp.stack([ins[p] for ins in inputs_batch])
+                        for p in range(n_pos)
+                    ]
+                    outs = jax.vmap(base, in_axes=(None, 0))(params, stacked)
+                    return tuple(
+                        tuple(o[b] for o in outs) for b in range(batch)
+                    )
+
+                cache[batch] = jax.jit(fn)
             return cache[batch]
 
     def _execute_eager(

@@ -90,6 +90,11 @@ class Engine(EngineBase):
         for w in self.workers:
             w.start()
 
+        # tracing: enabled when the planner has a log path (the reference
+        # dumps the chrome trace at planner destruction, planner.cc:31-33)
+        if config.planner.log_path:
+            tracer().enable()
+
         self.resource_monitor = None
         if config.monitor.enable:
             from ..monitor.resource_monitor import ResourceMonitor
@@ -116,6 +121,8 @@ class Engine(EngineBase):
             self.resource_monitor.stop()
         if self.config.profile.profile_data_path:
             self.latency_estimator.dump_profile()
+        if self.config.planner.log_path:
+            tracer().dump(self.config.planner.log_path)
 
     def _resolve_devices(self, spec: WorkerSpec) -> List[jax.Device]:
         if spec.device == DeviceFlag.CPU:

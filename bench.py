@@ -75,44 +75,50 @@ def bench_band_tpu() -> dict:
 
         feeds.append([StagedInput(a).stage(device) for a in ins])
 
-    # warmup through the full engine path
+    # warmup through the full engine path (also absorbs the transport's
+    # pathological first device->host fetch)
     warm = [
         eng.request_async(mids[i % 3], feeds[i % 3]) for i in range(9)
     ]
     eng.wait_all(warm, timeout=120)
+    for mid, ins in zip(mids, feeds):
+        eng.request_sync(mid, ins, timeout=300)
 
-    # calibrate the fixed device->host fetch cost we subtract from the
-    # timed window (the completion barrier below pays it once)
-    wj = eng.planner.get_finished_job(warm[-1])
-    t_c = time.perf_counter()
-    if wj is not None and wj.final_outputs:
-        _ = np.asarray(next(iter(wj.final_outputs.values()))).ravel()[0]
-    d2h_cost = time.perf_counter() - t_c
+    def stream(n):
+        """Fire n requests in per-model bursts, wait, barrier-fetch the
+        last job's output so the clock includes on-chip completion."""
+        t0 = time.perf_counter()
+        ids = []
+        burst = 8
+        while len(ids) < n:
+            m = (len(ids) // burst) % 3
+            k = min(burst, n - len(ids))
+            ids += eng.request_async_batch([mids[m]] * k, [feeds[m]] * k)
+        st = eng.wait_all(ids, timeout=600)
+        last = eng.planner.get_finished_job(ids[-1])
+        if last is not None and last.final_outputs:
+            _ = np.asarray(next(iter(last.final_outputs.values()))).ravel()[0]
+        return time.perf_counter() - t0, st
 
-    t0 = time.perf_counter()
-    ids = []
-    burst = 8
-    i = 0
-    while len(ids) < N_REQUESTS:
-        m = (i // burst) % 3
-        n = min(burst, N_REQUESTS - len(ids))
-        ids += eng.request_async_batch([mids[m]] * n, [feeds[m]] * n)
-        i += n
-    statuses = eng.wait_all(ids, timeout=600)
-    # this dev transport acks block_until_ready before on-chip completion;
-    # force a completion barrier by fetching the last job's output scalar
-    last_job = eng.planner.get_finished_job(ids[-1])
-    if last_job is not None and last_job.final_outputs:
-        v = next(iter(last_job.final_outputs.values()))
-        _ = np.asarray(v).ravel()[0]
-    dt = time.perf_counter() - t0 - d2h_cost
-    ok = sum(1 for s in statuses.values() if s == bt.JobStatus.SUCCESS)
+    # the dev transport's dispatch/fetch overheads are unpredictable per
+    # call; difference two run lengths so fixed costs cancel
+    t1, st1 = stream(N_REQUESTS)
+    t2, st2 = stream(2 * N_REQUESTS)
+    dt = max(t2 - t1, 1e-6)
+    statuses = st2
+    ok1 = sum(1 for v in st1.values() if v == bt.JobStatus.SUCCESS)
+    ok2 = sum(1 for v in statuses.values() if v == bt.JobStatus.SUCCESS)
     # correctness spot check: fetch one output per model
     for mid, ins in zip(mids, feeds):
         out = eng.request_sync(mid, ins, timeout=120)
         assert all(np.isfinite(o).all() or o.dtype.kind in "iu" for o in out)
     eng.shutdown()
-    return {"req_s": ok / dt, "ok": ok, "total": N_REQUESTS, "secs": dt}
+    return {
+        "req_s": N_REQUESTS / dt,
+        "ok": ok1 + ok2,
+        "total": 3 * N_REQUESTS,
+        "secs": dt,
+    }
 
 
 def bench_tflite_cpu_baseline(budget_s: float = 20.0) -> float:
