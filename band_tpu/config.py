@@ -173,6 +173,9 @@ class RuntimeConfig:
     worker: WorkerConfig = field(default_factory=WorkerConfig)
     subgraph: SubgraphConfig = field(default_factory=SubgraphConfig)
     monitor: MonitorConfig = field(default_factory=MonitorConfig)
+    # persistent XLA executable cache ("resume" for compilation, the
+    # TPU analogue of the reference's offline latency profile reuse)
+    compilation_cache_dir: str = ""
 
     def validate(self) -> None:
         for sub in (self.profile, self.planner, self.worker, self.subgraph,
@@ -355,6 +358,9 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
         b.subgraph_preparation_type(
             SubgraphPreparationType(sub["subgraph_preparation_type"].lower())
         )
+
+    if "compilation_cache_dir" in d:
+        b._cfg.compilation_cache_dir = d["compilation_cache_dir"]
 
     mon = d.get("resource_monitor", {})
     if mon.get("enable"):

@@ -61,6 +61,13 @@ class Engine(EngineBase):
     def __init__(self, config: RuntimeConfig):
         config.validate()
         self.config = config
+        if config.compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir", config.compilation_cache_dir
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
         self._models: Dict[int, _ModelRecord] = {}
         self._model_counter = 0
         self._lock = threading.RLock()

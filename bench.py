@@ -26,7 +26,8 @@ MODELS = [
     "retinaface_mbv2_quant_160",
     "ICN_quant",
 ]
-N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "300"))
+N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "600"))
+MAX_BATCH = int(os.environ.get("BENCH_MAX_BATCH", "1"))
 
 
 def model_paths():
@@ -49,6 +50,13 @@ def random_inputs(graph, rng):
 def bench_band_tpu() -> dict:
     import jax
 
+    # persistent compilation cache: repeat bench runs skip the (highly
+    # variable) XLA compile times of the model set
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import band_tpu as bt
 
     on_tpu = jax.default_backend() != "cpu"
@@ -56,7 +64,7 @@ def bench_band_tpu() -> dict:
     cfg = (
         bt.RuntimeConfigBuilder()
         .add_scheduler(bt.SchedulerType.FIXED_WORKER)
-        .add_worker(bt.WorkerSpec(device=flag, device_ids=(0,), max_batch=8))
+        .add_worker(bt.WorkerSpec(device=flag, device_ids=(0,), max_batch=MAX_BATCH))
         .profile_warmups(2)
         .profile_runs(3)
         .build()
