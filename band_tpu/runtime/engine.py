@@ -43,6 +43,38 @@ from .tensor import StagedInput
 from .worker import DeviceQueueWorker, GlobalQueueWorker, Worker
 
 
+def _boundary_bytes(graph, spec) -> Dict[int, int]:
+    """bytes of activations produced before and consumed at/after each
+    unit boundary (the payload of a cross-worker hop at that point)."""
+    unit_of_op = {}
+    for ui, ops in enumerate(spec.unit_subgraph_ops):
+        for oi in ops:
+            unit_of_op[oi] = ui
+    producer_unit = {}
+    for op in graph.ops:
+        for t in op.outputs:
+            producer_unit[t] = unit_of_op.get(op.index, 0)
+    out: Dict[int, int] = {}
+    for boundary in range(spec.num_unit_subgraphs):
+        total = 0
+        seen = set()
+        for op in graph.ops:
+            if unit_of_op.get(op.index, 0) < boundary:
+                continue
+            for t in op.inputs:
+                if t < 0 or t in seen:
+                    continue
+                td = graph.tensor(t)
+                if td.is_constant:
+                    continue
+                pu = producer_unit.get(t)
+                if pu is not None and pu < boundary:
+                    seen.add(t)
+                    total += td.nbytes
+        out[boundary] = total
+    return out
+
+
 class _ModelRecord:
     def __init__(self, model: Model, spec: ModelSpec):
         self.model = model
@@ -55,6 +87,9 @@ class _ModelRecord:
         self.input_ring: Optional[TensorRingBuffer] = None
         self.output_ring: Optional[TensorRingBuffer] = None
         self.worker_id: int = 0  # fixed-worker assignment
+        # boundary_bytes[u] = bytes of activations crossing the boundary
+        # just before unit u (for transfer costing)
+        self.boundary_bytes: Dict[int, int] = {}
 
 
 class Engine(EngineBase):
@@ -200,6 +235,7 @@ class Engine(EngineBase):
         rec.output_ring = TensorRingBuffer(
             [graph.tensor(t) for t in graph.outputs]
         )
+        rec.boundary_bytes = _boundary_bytes(graph, spec)
         if target_worker >= 0:
             rec.worker_id = target_worker
         else:
@@ -404,12 +440,45 @@ class Engine(EngineBase):
                 out.append(key)
         return out
 
+    def get_transfer_cost_us(
+        self, model_id: int, begin_unit: int, src_worker: int, dst_worker: int
+    ) -> int:
+        """Expected µs to move the boundary activations entering
+        `begin_unit` from src to dst worker.
+
+        The reference's transport is an in-process memcpy it never
+        costs (engine.cc:1247-1365); on TPU a hop may cross
+        device<->host or chip<->chip links, so the scheduler seam must
+        see the cost (SURVEY §5.8).  Model: bytes / link bandwidth +
+        fixed launch overhead, by link class."""
+        if src_worker < 0 or src_worker == dst_worker:
+            return 0
+        rec = self._rec(model_id)
+        nbytes = rec.boundary_bytes.get(begin_unit, 0)
+        src_host = self._worker_is_host(src_worker)
+        dst_host = self._worker_is_host(dst_worker)
+        if src_host != dst_host:
+            # device <-> host (PCIe-class): ~10 GB/s + launch overhead
+            return 30 + nbytes // 10_000
+        if src_host:
+            return 1 + nbytes // 50_000  # host memcpy
+        same_dev = (
+            self._worker_devices[src_worker][0]
+            is self._worker_devices[dst_worker][0]
+        )
+        if same_dev:
+            return 0
+        # chip <-> chip over ICI: ~45 GB/s + launch overhead
+        return 5 + nbytes // 45_000
+
     def get_subgraph_with_shortest_latency(
         self, job: Job, waiting: Dict[int, int]
     ) -> Tuple[Optional[SubgraphKey], int]:
-        """DP over contiguous unit ranges (reference: engine.cc:966-1052):
-        memo[j] = earliest finish of units <= j; returns the *first* hop
-        of the best path plus the path's total expected end time."""
+        """DP over (unit-range end, worker) states (extends the
+        reference DP, engine.cc:966-1052, with inter-hop transfer
+        costs): memo[j][w] = earliest finish of units <= j with the last
+        hop on worker w; returns the *first* hop of the best path plus
+        the path's expected end time."""
         rec = self._rec(job.model_id)
         num_units = rec.spec.num_unit_subgraphs
         resolved = job.resolved_unit_subgraphs
@@ -418,27 +487,38 @@ class Engine(EngineBase):
             return None, 0
 
         INF = 1 << 62
-        memo: List[int] = [INF] * (num_units + 1)
-        first_hop: List[Optional[SubgraphKey]] = [None] * (num_units + 1)
-        memo[start] = 0  # nothing executed yet beyond `resolved`
+        prev_worker = (
+            job.subgraph_key.worker_id if job.subgraph_key.is_valid() else -1
+        )
+        # memo state: {(boundary_unit): {worker: (time, first_hop)}}
+        memo: List[Dict[int, Tuple[int, Optional[SubgraphKey]]]] = [
+            {} for _ in range(num_units + 1)
+        ]
+        memo[start][prev_worker] = (0, None)
         for begin in range(start, num_units):
-            if memo[begin] >= INF:
+            if not memo[begin]:
                 continue
             for key in rec.keys_by_begin.get(begin, []):
                 expected = self.get_expected_latency(key)
                 if expected < 0:
                     expected = 0
                 w_wait = waiting.get(key.worker_id, 0)
-                end_time = max(memo[begin], w_wait) + expected
                 nxt = key.end_unit + 1
-                if end_time < memo[nxt]:
-                    memo[nxt] = end_time
-                    first_hop[nxt] = (
-                        first_hop[begin] if first_hop[begin] is not None else key
+                for src_w, (t, hop) in memo[begin].items():
+                    xfer = self.get_transfer_cost_us(
+                        job.model_id, begin, src_w, key.worker_id
                     )
-        if memo[num_units] >= INF:
+                    end_time = max(t + xfer, w_wait) + expected
+                    cur = memo[nxt].get(key.worker_id)
+                    if cur is None or end_time < cur[0]:
+                        memo[nxt][key.worker_id] = (
+                            end_time,
+                            hop if hop is not None else key,
+                        )
+        if not memo[num_units]:
             return None, 0
-        return first_hop[num_units], memo[num_units]
+        best_t, best_hop = min(memo[num_units].values(), key=lambda tv: tv[0])
+        return best_hop, best_t
 
     def is_end_of_model(self, key: SubgraphKey, resolved: frozenset) -> bool:
         rec = self._rec(key.model_id)
