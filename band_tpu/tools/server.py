@@ -127,8 +127,8 @@ class EngineServer:
             )
         except DeadlineExceeded:
             return 504, {"error": "slo_violation"}
-        except BandError as e:
-            return 500, {"error": str(e)}
+        except (BandError, ValueError, TypeError) as e:
+            return 400, {"error": str(e)}
         return 200, {"outputs": [encode_tensor(o) for o in outs]}
 
     def _stats(self):
@@ -156,13 +156,19 @@ def make_handler(server: EngineServer):
             self.wfile.write(data)
 
         def do_GET(self):
-            code, payload = server.handle("GET", self.path, None)
+            try:
+                code, payload = server.handle("GET", self.path, None)
+            except Exception as e:  # the API boundary never drops a conn
+                code, payload = 500, {"error": repr(e)}
             self._send(code, payload)
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", "0"))
-            body = json.loads(self.rfile.read(n) or b"{}")
-            code, payload = server.handle("POST", self.path, body)
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                code, payload = server.handle("POST", self.path, body)
+            except Exception as e:
+                code, payload = 500, {"error": repr(e)}
             self._send(code, payload)
 
         def log_message(self, fmt, *args):  # quiet
