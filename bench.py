@@ -126,6 +126,7 @@ def bench_band_tpu() -> dict:
         "ok": ok1 + ok2,
         "total": 3 * N_REQUESTS,
         "secs": dt,
+        "platform": "tpu" if on_tpu else "cpu_fallback",
     }
 
 
@@ -175,6 +176,7 @@ def main():
                 "unit": "req/s",
                 "vs_baseline": round(vs, 3),
                 "detail": {
+                    "platform": result["platform"],
                     "ok": result["ok"],
                     "total": result["total"],
                     "wall_s": round(result["secs"], 3),

@@ -1,0 +1,77 @@
+"""Device-error handling: throttle + hand jobs back to the planner
+(reference: band/worker.cc:101-110, worker_device_queue.cc:110-125)."""
+
+import time
+
+import pytest
+
+import band_tpu as bt
+from band_tpu.common import Job, JobStatus
+from band_tpu.config import WorkerSpec
+from band_tpu.errors import ExecutionError
+from band_tpu.runtime.worker import DeviceQueueWorker
+from tests.mock_engine import MockEngine
+
+
+class FailingEngine(MockEngine):
+    def __init__(self, fail_times=1, **kw):
+        super().__init__(**kw)
+        self.fail_times = fail_times
+        self.invokes = 0
+
+    def try_copy_input_tensors(self, job):
+        # band raises inside Invoke; ExecutionError on the copy path
+        # exercises the same handler
+        self.invokes += 1
+        if self.invokes <= self.fail_times:
+            raise ExecutionError("injected device failure")
+        return []
+
+
+def test_device_error_requeues_and_throttles():
+    eng = FailingEngine(fail_times=1)
+    key = eng.whole_key(0, 0)
+    eng.latency[key] = 100
+    w = DeviceQueueWorker(eng, 0, WorkerSpec(device=bt.DeviceFlag.CPU))
+    w.start()
+    try:
+        j1 = Job(model_id=0, job_id=1)
+        j1.subgraph_key = key
+        j2 = Job(model_id=0, job_id=2)
+        j2.subgraph_key = key
+        w.enqueue_job(j1)
+        w.enqueue_job(j2)
+        deadline = time.monotonic() + 5
+        while not eng.enqueued and time.monotonic() < deadline:
+            time.sleep(0.01)
+        # the failed job AND its queued sibling went back to the planner
+        assert {j.job_id for j in eng.enqueued} == {1, 2}
+        for j in eng.enqueued:
+            assert j.status == JobStatus.QUEUED
+            assert not j.subgraph_key.is_valid()  # assignment reset
+        # worker throttles for a bit after the failure
+        assert not w.is_available()
+    finally:
+        w.stop()
+
+
+def test_generic_failure_reports_invoke_failure():
+    class BoomEngine(MockEngine):
+        def invoke(self, key, inputs):
+            raise RuntimeError("boom")
+
+    eng = BoomEngine()
+    key = eng.whole_key(0, 0)
+    eng.latency[key] = 100
+    w = DeviceQueueWorker(eng, 0, WorkerSpec(device=bt.DeviceFlag.CPU))
+    w.start()
+    try:
+        j = Job(model_id=0, job_id=1)
+        j.subgraph_key = key
+        w.enqueue_job(j)
+        deadline = time.monotonic() + 5
+        while not eng.finished and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert eng.finished[0].status == JobStatus.INVOKE_FAILURE
+    finally:
+        w.stop()
