@@ -47,7 +47,7 @@ def random_inputs(graph, rng):
     return out
 
 
-def bench_band_tpu() -> dict:
+def bench_band_tpu(force_cpu: bool = False) -> dict:
     import jax
 
     # persistent compilation cache: repeat bench runs skip the (highly
@@ -164,8 +164,37 @@ def bench_tflite_cpu_baseline(budget_s: float = 20.0) -> float:
     return n / (time.perf_counter() - t0)
 
 
+def _run_tpu_subprocess(timeout_s: float):
+    """Run the TPU measurement in a child process so a stalled device
+    service cannot wedge the benchmark; returns the result dict or None."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("INNER_RESULT:"):
+            return json.loads(line[len("INNER_RESULT:"):])
+    return None
+
+
 def main():
-    result = bench_band_tpu()
+    if "--inner" in sys.argv:
+        print("INNER_RESULT:" + json.dumps(bench_band_tpu()), flush=True)
+        return
+    timeout_s = float(os.environ.get("BENCH_TPU_TIMEOUT", "1500"))
+    result = _run_tpu_subprocess(timeout_s)
+    if result is None:
+        # device service stalled: measure the engine on CPU instead and
+        # label it so the number is never mistaken for a chip result
+        result = bench_band_tpu(force_cpu=True)
+        result["platform"] = "cpu_fallback_tpu_stalled"
     baseline = bench_tflite_cpu_baseline()
     vs = result["req_s"] / baseline if baseline > 0 else -1.0
     print(
