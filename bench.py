@@ -26,7 +26,7 @@ MODELS = [
     "retinaface_mbv2_quant_160",
     "ICN_quant",
 ]
-N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "600"))
+N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "400"))
 MAX_BATCH = int(os.environ.get("BENCH_MAX_BATCH", "1"))
 
 
@@ -110,6 +110,14 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
 
     # the dev transport's dispatch/fetch overheads are unpredictable per
     # call; difference two run lengths so fixed costs cancel
+    profiled = {}
+    for name, mid in zip(MODELS, mids):
+        rec = eng.model_record(mid)
+        profiled[name] = {
+            str(k): eng.latency_estimator.get_profiled(k)
+            for k in rec.subgraph_keys
+        }
+
     t1, st1 = stream(N_REQUESTS)
     t2, st2 = stream(2 * N_REQUESTS)
     dt = max(t2 - t1, 1e-6)
@@ -127,6 +135,7 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
         "total": 3 * N_REQUESTS,
         "secs": dt,
         "platform": "tpu" if on_tpu else "cpu_fallback",
+        "profiled_subgraph_latency_us": profiled,
     }
 
 
@@ -206,6 +215,9 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "detail": {
                     "platform": result["platform"],
+                    "profiled_subgraph_latency_us": result.get(
+                        "profiled_subgraph_latency_us", {}
+                    ),
                     "ok": result["ok"],
                     "total": result["total"],
                     "wall_s": round(result["secs"], 3),
