@@ -57,9 +57,12 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import band_tpu as bt
 
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = (not force_cpu) and jax.default_backend() != "cpu"
     flag = bt.DeviceFlag.TPU if on_tpu else bt.DeviceFlag.CPU
     cfg = (
         bt.RuntimeConfigBuilder()
@@ -134,7 +137,7 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
         "ok": ok1 + ok2,
         "total": 3 * N_REQUESTS,
         "secs": dt,
-        "platform": "tpu" if on_tpu else "cpu_fallback",
+        "platform": "tpu" if on_tpu else "cpu",
         "profiled_subgraph_latency_us": profiled,
     }
 
