@@ -1,0 +1,55 @@
+"""Converter-generated model families beyond the reference zoo:
+residual CNN (bit-exact) and a self-attention block (BATCH_MATMUL,
+TRANSPOSE, layer-norm float segments, <= 2 LSB)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from band_tpu.backend.program import build_program
+from band_tpu.tflite.parser import parse_tflite_file
+from tests.conftest import make_tfl_interpreter, random_feeds
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def run_pair(name, rng):
+    path = os.path.join(DATA, f"{name}.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    it = make_tfl_interpreter(path)
+    feeds = random_feeds(it, rng)
+    it.allocate_tensors()
+    for d in it.get_input_details():
+        it.set_tensor(d["index"], feeds[d["index"]])
+    it.invoke()
+    ref = {d["index"]: it.get_tensor(d["index"])
+           for d in it.get_output_details()}
+    g = parse_tflite_file(path)
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode="f32_split")
+    fn = jax.jit(prog.make_fn())
+    outs = fn({k: np.asarray(v) for k, v in prog.params.items()},
+              [feeds[t] for t in prog.input_ids])
+    got = {t: np.asarray(o) for t, o in zip(prog.output_ids, outs)}
+    return ref, got, g
+
+
+def test_resnetish_residual_cnn_bit_exact(rng):
+    ref, got, g = run_pair("resnetish_int8", rng)
+    assert g.op_histogram()["ADD"] >= 2  # residual adds present
+    for tid, r in ref.items():
+        np.testing.assert_array_equal(got[tid], r)
+
+
+def test_attention_block_within_2_lsb(rng):
+    ref, got, g = run_pair("attention_int8", rng)
+    hist = g.op_histogram()
+    assert hist.get("BATCH_MATMUL", 0) >= 2  # QK^T and AV matmuls
+    assert hist.get("TRANSPOSE", 0) >= 2
+    for tid, r in ref.items():
+        d = np.abs(got[tid].astype(np.int64) - r.astype(np.int64))
+        assert d.max() <= 2
+        assert (d == 0).mean() > 0.85
