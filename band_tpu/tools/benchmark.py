@@ -57,6 +57,8 @@ class BenchmarkConfig:
     execution_mode: str = "periodic"  # periodic | stream | workload
     running_time_ms: int = 10_000
     runtime: RuntimeConfig = None
+    # trace-driven mode: [{"time_ms": 5, "model": 0, "batch": 1}, ...]
+    workload: list = None
 
     @staticmethod
     def from_json(path: str) -> "BenchmarkConfig":
@@ -75,11 +77,20 @@ class BenchmarkConfig:
         runtime = config_from_dict(d)
         if not runtime.worker.workers:
             raise ConfigError("benchmark config needs at least one worker")
+        workload = d.get("workload")
+        if workload is None and d.get("workload_path"):
+            with open(d["workload_path"]) as f:
+                workload = json.load(f)
+        if mode == "workload" and not workload:
+            raise ConfigError(
+                "workload mode needs a 'workload' list or 'workload_path'"
+            )
         return BenchmarkConfig(
             models=models,
             execution_mode=mode,
             running_time_ms=int(d.get("running_time_ms", 10_000)),
             runtime=runtime,
+            workload=workload,
         )
 
 
@@ -208,9 +219,28 @@ class Benchmark:
                 self._record(mid, ids, now_us())
 
     def _run_workload(self) -> None:
-        """Trace-driven mode: round-robin the models as fast as the
-        trace dictates (the reference left this a stub)."""
-        self._run_stream()
+        """Trace-driven mode: fire each request at its trace timestamp
+        (the reference left this mode a BAND_NOT_IMPLEMENTED stub,
+        benchmark.cc:495; implemented here)."""
+        trace = sorted(self.config.workload or [],
+                       key=lambda e: e.get("time_ms", 0))
+        t0 = time.perf_counter()
+        pending: List = []
+        for entry in trace:
+            at = entry.get("time_ms", 0) / 1000.0
+            delay = at - (time.perf_counter() - t0)
+            if delay > 0:
+                time.sleep(delay)
+            idx = int(entry.get("model", 0))
+            mid = self.model_ids[idx]
+            batch = int(entry.get("batch", 1))
+            ids = self.engine.request_async_batch(
+                [mid] * batch, [self.inputs[idx]] * batch,
+                [self.options[idx]] * batch,
+            )
+            pending.append((mid, ids))
+        for mid, ids in pending:
+            self._record(mid, ids, now_us())
 
     # ------------------------------------------------------------------
     def report(self) -> Dict:

@@ -101,3 +101,28 @@ def test_short_run(tmp_path, mode):
     assert m0["processed"] > 0
     assert m0["avg_latency_ms"] > 0
     assert 0.0 <= m0.get("slo_satisfaction", 1.0) <= 1.0
+
+
+def test_workload_mode(tmp_path):
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    d = _mini_config(tmp_path, mode="stream")
+    d["execution_mode"] = "workload"
+    d["workload"] = [
+        {"time_ms": t, "model": 0, "batch": 2} for t in range(0, 100, 20)
+    ]
+    cfg = BenchmarkConfig.from_dict(d)
+    bench = Benchmark(cfg, stage_inputs_on_device=False)
+    try:
+        report = bench.run()
+    finally:
+        bench.shutdown()
+    assert report["total"]["processed"] == 10
+    assert report["total"]["canceled"] == 0
+
+
+def test_workload_mode_requires_trace(tmp_path):
+    d = _mini_config(tmp_path)
+    d["execution_mode"] = "workload"
+    with pytest.raises(bt.ConfigError):
+        BenchmarkConfig.from_dict(d)
