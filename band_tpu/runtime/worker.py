@@ -48,6 +48,11 @@ class Worker:
         self._thread: Optional[threading.Thread] = None
         self._idle_cv = threading.Condition()
         self._processing = False
+        # jobs dispatched but not yet retired (waiting-time estimates)
+        self._inflight_jobs: List[Job] = []
+
+    def _max_depth(self) -> int:
+        return self.spec.dispatch_depth
 
     # --- lifecycle ---
     def start(self) -> None:
@@ -111,29 +116,106 @@ class Worker:
         raise NotImplementedError
 
     # --- main loop (reference: Worker::Work, worker.cc:222-323) ---
+    # Unlike the reference's strictly blocking loop, up to
+    # `dispatch_depth` work units stay in flight so host-side input prep
+    # of the next job overlaps device execution of the previous one;
+    # completions retire in FIFO order so waiting-time estimates and
+    # continuation ordering stay truthful.
     def _work(self) -> None:
+        depth = max(self._max_depth(), 1)
+        inflight: collections.deque = collections.deque()
         while True:
             with self._cv:
                 while (self._kill is False) and (
-                    self._paused or not self.has_job()
+                    self._paused or not (self.has_job() or inflight)
                 ):
                     self._cv.wait(timeout=0.1)
                 if self._kill:
+                    while inflight:
+                        self._finish(inflight.popleft())
                     return
-                jobs = self._dequeue_many()
-                if not jobs:
-                    continue
-                self._processing = True
+                jobs = []
+                if self.has_job() and len(inflight) < depth:
+                    jobs = self._dequeue_many()
+                if jobs or inflight:
+                    self._processing = True
             try:
-                if len(jobs) == 1:
-                    self._process(jobs[0])
-                else:
-                    self._process_batch(jobs)
+                if jobs:
+                    rec = self._dispatch(jobs)
+                    if rec is not None:
+                        inflight.append(rec)
+                if inflight and (len(inflight) >= depth or not self.has_job()):
+                    self._finish(inflight.popleft())
             finally:
                 with self._idle_cv:
-                    self._processing = False
+                    self._processing = bool(inflight)
                     self._idle_cv.notify_all()
-                self.engine.trigger()
+                if not inflight:
+                    self.engine.trigger()
+
+    def _dispatch(self, jobs: List[Job]):
+        """Assemble inputs and launch (no completion wait).  Returns an
+        in-flight record or None if the error paths consumed the jobs."""
+        key = jobs[0].subgraph_key
+        try:
+            inputs_list = [
+                self.engine.try_copy_input_tensors(j) for j in jobs
+            ]
+            start = now_us()
+            for j in jobs:
+                j.invoke_time = start
+                tracer().begin_subgraph(j)
+            if len(jobs) == 1:
+                rec = (jobs, [self.engine.invoke(key, inputs_list[0])])
+            else:
+                rec = (jobs, self.engine.invoke_batched(key, inputs_list))
+            self._inflight_jobs.extend(jobs)
+            return rec
+        except ExecutionError:
+            for j in jobs:
+                tracer().end_subgraph(j)
+            self._handle_device_error(jobs[0])
+            for j in jobs[1:]:
+                j.subgraph_key = type(j.subgraph_key)()
+                j.status = JobStatus.QUEUED
+                self.engine.enqueue_batch([j], push_front=True)
+            return None
+        except Exception:
+            for j in jobs:
+                j.status = JobStatus.INVOKE_FAILURE
+                j.end_time = now_us()
+                tracer().end_subgraph(j)
+                self.engine.enqueue_finished_job(j)
+            return None
+
+    def _finish(self, rec) -> None:
+        """Retire one in-flight work unit: observe completion, update
+        the cost model, hand off outputs/continuations."""
+        jobs, outputs_list = rec
+        key = jobs[0].subgraph_key
+        try:
+            outputs_list = jax.block_until_ready(outputs_list)
+        except Exception:
+            for j in jobs:
+                j.status = JobStatus.INVOKE_FAILURE
+                j.end_time = now_us()
+                tracer().end_subgraph(j)
+                self.engine.enqueue_finished_job(j)
+            self._inflight_jobs = [
+                j for j in self._inflight_jobs if j not in jobs
+            ]
+            return
+        end = now_us()
+        latency = end - jobs[0].invoke_time
+        self.engine.update_latency(key, latency)
+        for j, outs in zip(jobs, outputs_list):
+            j.end_time = end
+            j.profiled_execution_time = latency
+            tracer().end_subgraph(j)
+            self._complete(j, outs)
+        self._inflight_jobs = [
+            j for j in self._inflight_jobs if j not in jobs
+        ]
 
     def _process(self, job: Job) -> None:
         key = job.subgraph_key
@@ -265,12 +347,12 @@ class DeviceQueueWorker(Worker):
         if not self.is_available():
             return LARGE_WAITING_TIME
         total = 0
-        cur = self._current if self._processing else None
-        if cur is not None:
+        now = now_us()
+        for cur in list(self._inflight_jobs):
             expected = self.engine.get_expected_latency(cur.subgraph_key)
             if expected < 0:
                 return LARGE_WAITING_TIME
-            elapsed = now_us() - cur.invoke_time if cur.invoke_time else 0
+            elapsed = now - cur.invoke_time if cur.invoke_time else 0
             total += max(expected - elapsed, 0)
         for job in list(self._queue):
             expected = self.engine.get_expected_latency(job.subgraph_key)
@@ -310,9 +392,12 @@ class GlobalQueueWorker(Worker):
     def _requeue_all(self) -> List[Job]:
         return []
 
-    def _process(self, job: Job) -> None:
+    def _max_depth(self) -> int:
+        return 1  # single in-flight job by definition
+
+    def _finish(self, rec) -> None:
         try:
-            super()._process(job)
+            super()._finish(rec)
         finally:
             with self._cv:
                 self._current = None
