@@ -100,18 +100,21 @@ class EngineServer:
         path = body.get("path")
         if not path:
             return 400, {"error": "missing 'path'"}
-        with self._lock:
-            mid = self.engine.register_model(
-                Model.from_path(path),
-                target_worker=body.get("target_worker", -1),
-            )
+        try:
+            with self._lock:
+                mid = self.engine.register_model(
+                    Model.from_path(path),
+                    target_worker=body.get("target_worker", -1),
+                )
+        except (OSError, BandError, ValueError, TypeError) as e:
+            return 400, {"error": f"register failed: {e}"}
         return 200, {"model_id": mid}
 
     def _request(self, body: dict):
         try:
             mid = int(body["model_id"])
             inputs = [decode_tensor(t) for t in body["inputs"]]
-        except (KeyError, ValueError) as e:
+        except (KeyError, ValueError, TypeError) as e:
             return 400, {"error": f"bad request: {e}"}
         option = RequestOption(
             slo_us=int(body.get("slo_us", -1)),
@@ -165,7 +168,15 @@ def make_handler(server: EngineServer):
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
-                body = json.loads(self.rfile.read(n) or b"{}")
+                raw = self.rfile.read(n) or b"{}"
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError as e:
+                    self._send(400, {"error": f"invalid JSON: {e}"})
+                    return
+                if not isinstance(body, dict):
+                    self._send(400, {"error": "body must be a JSON object"})
+                    return
                 code, payload = server.handle("POST", self.path, body)
             except Exception as e:
                 code, payload = 500, {"error": repr(e)}

@@ -72,7 +72,36 @@ def test_server_round_trip(server, rng):
     assert stats["execution_counts"]
 
 
+def _raw_post(url, raw: bytes):
+    req = urllib.request.Request(url, data=raw, method="POST")
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
 def test_server_bad_request(server):
+    # every malformed request maps to a 400 JSON error, never a 500 or
+    # a dropped connection
     status, resp = _call(f"{server}/request", "POST", {"model_id": 99,
                                                        "inputs": []})
-    assert status in (400, 500)
+    assert status == 400 and "error" in resp
+
+    status, resp = _raw_post(f"{server}/request", b"not json")
+    assert status == 400 and "invalid JSON" in resp["error"]
+
+    status, resp = _raw_post(f"{server}/request", b"[1, 2, 3]")
+    assert status == 400 and "JSON object" in resp["error"]
+
+    status, resp = _raw_post(
+        f"{server}/request",
+        b'{"model_id": 0, "inputs": [{"shape": [2], "dtype": "float32",'
+        b' "data": "AAAA"}]}',
+    )
+    assert status == 400
+
+    status, resp = _call(f"{server}/models", "POST",
+                         {"path": "/nonexistent/model.tflite"})
+    assert status == 400 and "register failed" in resp["error"]
