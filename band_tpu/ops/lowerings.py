@@ -636,8 +636,14 @@ def _mul(ctx: LowerCtx, op: OpNode) -> None:
         acc = (x1.astype(jnp.int32) - ctx.smeta(op, "zp1")) * (
             x2.astype(jnp.int32) - ctx.smeta(op, "zp2")
         )
+        # TFLite's builtin int8 MUL kernels (both the elementwise and the
+        # BroadcastMul4DSlow paths) requantize with the gemmlowp
+        # double-rounding MBQM, unlike ADD/MEAN which use single-rounding
+        # (verified per-op against the builtin-kernel interpreter on all
+        # 39 quantized MULs of magenta style-transfer; see
+        # tests/test_executor_exact.py)
         out = Q.multiply_by_quantized_multiplier(
-            acc, ctx.smeta(op, "qm"), ctx.smeta(op, "sh")
+            acc, ctx.smeta(op, "qm"), ctx.smeta(op, "sh"), rounding="double"
         ) + ctx.smeta(op, "zpo")
         out = jnp.clip(out, ctx.smeta(op, "qmin"), ctx.smeta(op, "qmax"))
         ctx.set(op.outputs[0], out.astype(out_td.dtype))

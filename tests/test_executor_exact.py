@@ -79,3 +79,17 @@ def test_retinaface_int8_within_one_lsb(rng):
     for tid, r in ref.items():
         if not np.issubdtype(r.dtype, np.integer):
             np.testing.assert_allclose(got[tid], r, atol=1e-2, rtol=1e-2)
+
+
+def test_magenta_style_transfer_bit_exact(rng):
+    """295-op hybrid int8/float style-transfer network (instance norm:
+    MEAN/SQUARED_DIFFERENCE/RSQRT, MIRROR_PAD, RESIZE_NEAREST_NEIGHBOR,
+    broadcast MUL/ADD of style parameters) must match the oracle exactly
+    — instance norm amplifies any 1-LSB requant divergence into visible
+    output error, so this model is the sharpest rounding test we have."""
+    name = "magenta_arbitrary-image-stylization-v1-256_int8_transfer_1"
+    if not has_model(name):
+        pytest.skip("reference model not available")
+    ref, got = run_both(name, rng)
+    for tid, r in ref.items():
+        np.testing.assert_array_equal(got[tid], r)
