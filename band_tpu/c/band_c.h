@@ -1,0 +1,157 @@
+/* band-tpu C API.
+ *
+ * A C ABI over the band-tpu engine with the same surface as the
+ * reference's C API (reference: band/c/c_api.h:46-140): opaque handles
+ * for config-builder / config / model / tensor / engine, synchronous and
+ * asynchronous requests with per-request options, wait, and
+ * end-of-request callbacks.
+ *
+ * Differences from the reference, by design:
+ *  - Config is composed from JSON fragments / dotted keys instead of the
+ *    varargs BandAddConfig(field_enum, count, ...) protocol; the JSON
+ *    schema is the same one the benchmark tool and the Python API accept
+ *    (reference schema: band/docs/config.md), so C callers can reuse
+ *    reference config files verbatim.
+ *  - The library embeds a CPython interpreter (the runtime control plane
+ *    is Python driving XLA); link against libband_tpu_c.so and set
+ *    PYTHONPATH so `band_tpu` is importable.  Set BAND_TPU_PLATFORM=cpu
+ *    to force the CPU backend (useful for tests on hosts without TPU).
+ *
+ * Thread-safety: all functions may be called from any thread; calls are
+ * serialized on the embedded interpreter's GIL.  Engine execution itself
+ * happens on internal worker threads and XLA; the GIL is only held for
+ * control-plane transitions.
+ */
+
+#ifndef BAND_TPU_C_BAND_C_H_
+#define BAND_TPU_C_BAND_C_H_
+
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct BandConfigBuilder BandConfigBuilder;
+typedef struct BandConfig BandConfig;
+typedef struct BandModel BandModel;
+typedef struct BandTensor BandTensor;
+typedef struct BandEngine BandEngine;
+typedef int BandRequestHandle;
+
+typedef enum BandStatus {
+  kBandOk = 0,
+  kBandError = 1,
+  kBandDeadlineExceeded = 2,
+} BandStatus;
+
+typedef enum BandDataType {
+  kBandNoType = 0,
+  kBandFloat32 = 1,
+  kBandInt32 = 2,
+  kBandUInt8 = 3,
+  kBandInt64 = 4,
+  kBandString = 5,
+  kBandBool = 6,
+  kBandInt16 = 7,
+  kBandComplex64 = 8,
+  kBandInt8 = 9,
+  kBandFloat16 = 10,
+  kBandFloat64 = 11,
+} BandDataType;
+
+typedef enum BandDeviceFlag {
+  kBandCpu = 0,
+  kBandTpu = 1,
+  kBandTpuMesh = 2,
+} BandDeviceFlag;
+
+typedef struct BandRequestOption {
+  int target_worker;   /* -1: let the scheduler decide */
+  int require_callback; /* 0/1 */
+  int slo_us;          /* -1: no SLO */
+  float slo_scale;     /* -1: unused; else slo = worst_latency * scale */
+} BandRequestOption;
+
+/* Last error message of the calling thread ("" if none). Valid until the
+ * next API call from the same thread. */
+const char* BandGetLastError(void);
+
+/* -- config ------------------------------------------------------------ */
+BandConfigBuilder* BandConfigBuilderCreate(void);
+void BandConfigBuilderDelete(BandConfigBuilder* b);
+/* Merge a JSON object (text) into the builder state. */
+BandStatus BandAddConfigJson(BandConfigBuilder* b, const char* json_text);
+/* Set one dotted key, e.g. ("planner.schedule_window_size", "8") or
+ * ("schedulers", "[\"heft\"]"); the value is parsed as JSON when
+ * possible, else taken as a string. */
+BandStatus BandAddConfigKV(BandConfigBuilder* b, const char* key,
+                           const char* value);
+BandConfig* BandConfigCreate(BandConfigBuilder* b);
+BandConfig* BandConfigCreateFromFile(const char* json_path);
+void BandConfigDelete(BandConfig* config);
+
+/* -- model ------------------------------------------------------------- */
+BandModel* BandModelCreate(void);
+void BandModelDelete(BandModel* model);
+BandStatus BandModelAddFromFile(BandModel* model, const char* model_path);
+BandStatus BandModelAddFromBuffer(BandModel* model, const void* model_data,
+                                  size_t model_size);
+
+/* -- tensor (immutable shape; reference: band/c/c_api.h tensor getters) - */
+void BandTensorDelete(BandTensor* tensor);
+BandDataType BandTensorGetType(BandTensor* tensor);
+void* BandTensorGetData(BandTensor* tensor);
+size_t BandTensorGetNumDims(BandTensor* tensor);
+const int* BandTensorGetDims(BandTensor* tensor);
+size_t BandTensorGetBytes(BandTensor* tensor);
+const char* BandTensorGetName(BandTensor* tensor);
+
+/* -- request options ---------------------------------------------------- */
+BandRequestOption BandRequestOptionGetDefault(void);
+
+/* -- engine -------------------------------------------------------------- */
+BandEngine* BandEngineCreate(BandConfig* config);
+void BandEngineDelete(BandEngine* engine);
+BandStatus BandEngineRegisterModel(BandEngine* engine, BandModel* model);
+int BandEngineGetNumInputTensors(BandEngine* engine, BandModel* model);
+int BandEngineGetNumOutputTensors(BandEngine* engine, BandModel* model);
+int BandEngineGetNumWorkers(BandEngine* engine);
+BandDeviceFlag BandEngineGetWorkerDevice(BandEngine* engine, int worker_id);
+
+BandTensor* BandEngineCreateInputTensor(BandEngine* engine, BandModel* model,
+                                        size_t index);
+BandTensor* BandEngineCreateOutputTensor(BandEngine* engine, BandModel* model,
+                                         size_t index);
+
+BandStatus BandEngineRequestSync(BandEngine* engine, BandModel* model,
+                                 BandTensor** input_tensors,
+                                 BandTensor** output_tensors);
+BandRequestHandle BandEngineRequestAsync(BandEngine* engine, BandModel* model,
+                                         BandTensor** input_tensors);
+BandStatus BandEngineRequestSyncOptions(BandEngine* engine, BandModel* model,
+                                        BandRequestOption options,
+                                        BandTensor** input_tensors,
+                                        BandTensor** output_tensors);
+BandRequestHandle BandEngineRequestAsyncOptions(BandEngine* engine,
+                                                BandModel* model,
+                                                BandRequestOption options,
+                                                BandTensor** input_tensors);
+/* Blocks until the job finishes and copies outputs into output_tensors
+ * (pass num_outputs == 0 / output_tensors == NULL to just wait). */
+BandStatus BandEngineWait(BandEngine* engine, BandRequestHandle handle,
+                          BandTensor** output_tensors, size_t num_outputs);
+
+/* End-of-request callback: fires on the planner thread for every finished
+ * job with require_callback set. Returns a handle (>=0) or -1 on error. */
+int BandEngineSetOnEndRequest(BandEngine* engine,
+                              void (*on_end_invoke)(void* user_data,
+                                                    int job_id,
+                                                    BandStatus status),
+                              void* user_data);
+
+#ifdef __cplusplus
+}  /* extern "C" */
+#endif
+
+#endif  /* BAND_TPU_C_BAND_C_H_ */

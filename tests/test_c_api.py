@@ -1,0 +1,80 @@
+"""C ABI test: build libband_tpu_c.so + the example C client, run it in a
+subprocess against add.tflite, and assert the full round trip (config
+builder protocol, register, sync + async + wait, end-callbacks).
+Reference analogue: band/test/c/c_api_test.cc."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import has_model, model_path
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+CDIR = os.path.join(REPO, "band_tpu", "c")
+
+
+@pytest.fixture(scope="module")
+def c_artifacts(tmp_path_factory):
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    out_dir = str(tmp_path_factory.mktemp("c_api"))
+    from band_tpu.c.build import build
+
+    lib = build(out_dir, quiet=True)
+    exe = os.path.join(out_dir, "band_c_example")
+    subprocess.run(
+        [
+            "g++", "-O1", os.path.join(CDIR, "example", "main.c"),
+            f"-I{CDIR}", f"-L{out_dir}", "-lband_tpu_c",
+            f"-Wl,-rpath,{out_dir}", "-o", exe,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return lib, exe
+
+
+def _run_example(exe, *args):
+    env = dict(os.environ)
+    # the embedded interpreter (linked against the base python) needs the
+    # repo, the venv site-packages, and the axon site dir on its path
+    extra = [REPO] + [p for p in sys.path if p and os.path.isdir(p)]
+    env["PYTHONPATH"] = os.pathsep.join(
+        extra + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    )
+    env["BAND_TPU_PLATFORM"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    return subprocess.run(
+        [exe, *args], env=env, capture_output=True, text=True, timeout=300
+    )
+
+
+def test_c_api_round_trip(c_artifacts):
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    _, exe = c_artifacts
+    proc = _run_example(exe, model_path("add"))
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    out = proc.stdout
+    assert "num_workers=2" in out
+    assert "inputs=1 outputs=1" in out
+    # add.tflite computes 3*x; input filled with 2.0
+    assert "sync out[0]=6.0" in out
+    assert "async out[0]=6.0" in out
+    assert "callbacks=2" in out
+    assert "C API OK" in out
+
+
+def test_c_api_error_surface(c_artifacts):
+    _, exe = c_artifacts
+    proc = _run_example(exe, "/nonexistent/model.tflite")
+    assert proc.returncode == 1
+    assert "register failed" in proc.stderr
