@@ -1282,12 +1282,48 @@ def _resize_bilinear(ctx: LowerCtx, op: OpNode) -> None:
 # TRANSPOSE_CONV
 # --------------------------------------------------------------------------
 
+def _tconv_pads(o, in_h, in_w, kh, kw, sh, sw, out_h, out_w):
+    """TFLite transpose-conv pad-before: total = (in-1)*s + k - out (SAME)."""
+    if o["padding"] == "SAME":
+        tp_h = max((in_h - 1) * sh + kh - out_h, 0)
+        tp_w = max((in_w - 1) * sw + kw - out_w, 0)
+        return tp_h // 2, tp_w // 2
+    return 0, 0
+
+
+def _tconv_phases(k: int, s: int, pb: int, out_size: int):
+    """Sub-pixel (phase) decomposition of a 1-D transpose conv.
+
+    The scatter-form semantics are o[p] = sum_u dil[p + u - cb] * w[u]
+    with cb = k-1-pb and dil[m] = x[m/s] when s|m.  Splitting outputs by
+    p mod s turns this into s independent *dense* VALID convolutions of
+    the undilated input with strided kernel slices — the classic
+    sub-pixel convolution identity, bit-identical in integer arithmetic
+    and ~s^2x fewer MACs than convolving the zero-stuffed buffer:
+
+      o[s*t + r] = sum_a x[t + a + off_r] * w[s*a + u0_r],
+      u0_r = (cb - r) mod s,  off_r = (r + u0_r - cb) / s.
+
+    Returns [(u0, ka, off, T)] per phase r, where ka is the phase kernel
+    length and T the number of phase outputs.
+    """
+    cb = k - 1 - pb
+    out = []
+    for r in range(s):
+        u0 = (cb - r) % s
+        ka = max(-(-(k - u0) // s), 0)
+        off = (r + u0 - cb) // s
+        T = -(-(out_size - r) // s)
+        out.append((u0, ka, off, T))
+    return out
+
+
 def _prepare_transpose_conv(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     # inputs: [output_shape, weights(OHWI), x, bias?]
     w_td = graph.tensor(op.inputs[1])
     x_td = graph.tensor(op.inputs[2])
-    # rotate 180° and move to HWIO so a VALID conv on the dilated input
-    # reproduces the scatter semantics
+    # rotate 180° and move to HWIO so a VALID conv reproduces the
+    # scatter semantics (reference kernel: tflite TransposeConv)
     w = w_td.data[:, ::-1, ::-1, :]  # [O, kh, kw, I]
     w_hwio = np.transpose(w, (1, 2, 3, 0))
     if x_td.quant is None or x_td.dtype.kind == "f":
@@ -1301,10 +1337,37 @@ def _prepare_transpose_conv(graph: Graph, op: OpNode, exact: bool) -> Dict[str, 
                   outputs=op.outputs, options=dict(op.options))
     fake.options.setdefault("activation", "NONE")
     kh, kw, ci, _ = w_hwio.shape
-    return _prepare_conv_common(
+    out = _prepare_conv_common(
         graph, fake, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw * ci,
         exact=exact,
     )
+    # Per-phase kernel slices + folded constants for the sub-pixel
+    # decomposition (see _tconv_phases).  Each output owes k_taps "taps"
+    # whose fill value is x_zp; a phase conv only computes taps_p of
+    # them, so the missing xzp*w mass (and the matching wzp*S term) is
+    # folded into a per-phase, per-out-channel constant.
+    o = op.options
+    sh, sw = o["stride_h"], o["stride_w"]
+    out_shape = graph.tensor(op.inputs[0]).data
+    out_h, out_w = int(out_shape[1]), int(out_shape[2])
+    in_h, in_w = int(x_td.shape[1]), int(x_td.shape[2])
+    pb_h, pb_w = _tconv_pads(o, in_h, in_w, kh, kw, sh, sw, out_h, out_w)
+    w_i8 = out["w"]  # already shifted into the int8 domain
+    xzp = out["x_zp"]
+    wzp = out["w_zp"]
+    full_sum = w_i8.astype(np.int64).sum(axis=(0, 1, 2))
+    for rh, (u0h, kah, _, _) in enumerate(_tconv_phases(kh, sh, pb_h, out_h)):
+        for rw, (u0w, kaw, _, _) in enumerate(
+                _tconv_phases(kw, sw, pb_w, out_w)):
+            wp = np.ascontiguousarray(w_i8[u0h::sh, u0w::sw])
+            taps_p = wp.shape[0] * wp.shape[1] * ci
+            badj = (
+                xzp * (full_sum - wp.astype(np.int64).sum(axis=(0, 1, 2)))
+                - wzp * (kh * kw * ci - taps_p) * xzp
+            ).astype(np.int32)
+            out[f"w_{rh}_{rw}"] = wp
+            out[f"badj_{rh}_{rw}"] = badj
+    return out
 
 
 @register("TRANSPOSE_CONV", prepare=_prepare_transpose_conv,
@@ -1317,48 +1380,65 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
     o = op.options
     sh, sw = o["stride_h"], o["stride_w"]
     kh, kw = w.shape[0], w.shape[1]
-    n, in_h, in_w, _ = x.shape
+    oc = w.shape[-1]
+    n, in_h, in_w, cin = x.shape
     out_h, out_w = out_shape[1], out_shape[2]
 
     quant = ctx.is_quantized(op.inputs[2])
     if quant:
         xzp = ctx.smeta(op, "x_zp")
+        wzp = ctx.smeta(op, "w_zp")
         x, _ = _to_int8_domain(x, 0)
         fill = np.int8(xzp)
+        acc_dtype = jnp.int32
     else:
+        x = x.astype(jnp.float32)
         fill = np.float32(0.0)
+        acc_dtype = jnp.float32
 
-    # TFLite pad: total = (in-1)*stride + k - out (SAME), 0 (VALID)
-    if o["padding"] == "SAME":
-        tp_h = max((in_h - 1) * sh + kh - out_h, 0)
-        tp_w = max((in_w - 1) * sw + kw - out_w, 0)
-        pb_h, pb_w = tp_h // 2, tp_w // 2
-    else:
-        pb_h = pb_w = 0
-    # build dilated input filled with the zero point, then VALID conv
-    dil_h, dil_w = (in_h - 1) * sh + 1, (in_w - 1) * sw + 1
-    buf = jnp.full((n, dil_h, dil_w, x.shape[-1]), fill, x.dtype)
-    buf = buf.at[:, ::sh, ::sw, :].set(x)
-    # conv pad so that output size matches out_shape
-    cb_h = kh - 1 - pb_h
-    cb_w = kw - 1 - pb_w
-    ca_h = out_h + kh - 1 - dil_h - cb_h
-    ca_w = out_w + kw - 1 - dil_w - cb_w
-    buf = jnp.pad(buf, ((0, 0), (cb_h, ca_h), (cb_w, ca_w), (0, 0)),
-                  constant_values=fill)
+    pb_h, pb_w = _tconv_pads(o, in_h, in_w, kh, kw, sh, sw, out_h, out_w)
     dn = ("NHWC", "HWIO", "NHWC")
+    acc = jnp.zeros((n, out_h, out_w, oc), acc_dtype)
+    for rh, (u0h, kah, offh, th) in enumerate(
+            _tconv_phases(kh, sh, pb_h, out_h)):
+        for rw, (u0w, kaw, offw, tw) in enumerate(
+                _tconv_phases(kw, sw, pb_w, out_w)):
+            if th <= 0 or tw <= 0:
+                continue
+            if kah == 0 or kaw == 0:
+                # no real taps in this phase: all-fill window
+                acc_p = jnp.zeros((n, th, tw, oc), acc_dtype)
+                if quant:
+                    acc_p = acc_p + ctx.param(op, f"badj_{rh}_{rw}")
+            else:
+                lo_h, hi_h = offh, offh + th + kah - 1
+                lo_w, hi_w = offw, offw + tw + kaw - 1
+                xs = x[:, max(lo_h, 0):min(hi_h, in_h),
+                       max(lo_w, 0):min(hi_w, in_w), :]
+                pads = ((0, 0),
+                        (max(0, -lo_h), max(0, hi_h - in_h)),
+                        (max(0, -lo_w), max(0, hi_w - in_w)),
+                        (0, 0))
+                if any(p != (0, 0) for p in pads[1:3]):
+                    xs = jnp.pad(xs, pads, constant_values=fill)
+                if quant:
+                    wp = ctx.param(op, f"w_{rh}_{rw}")
+                    acc_p = _int_conv(ctx, xs, wp, (1, 1), (1, 1), dn)
+                    acc_p = acc_p + ctx.param(op, f"badj_{rh}_{rw}")
+                    if wzp != 0:
+                        s_p = _ones_conv(ctx, xs, kah, kaw, cin,
+                                         (1, 1), (1, 1), dn)
+                        acc_p = acc_p - jnp.int32(wzp) * s_p
+                else:
+                    wp = w[u0h::sh, u0w::sw]
+                    acc_p = lax.conv_general_dilated(
+                        xs, wp, (1, 1), "VALID", dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+            acc = acc.at[:, rh:rh + sh * th:sh, rw:rw + sw * tw:sw, :].set(
+                acc_p)
+
     if quant:
-        acc = _int_conv(ctx, buf, w, (1, 1), (1, 1), dn)
-    else:
-        acc = lax.conv_general_dilated(
-            buf, w, (1, 1), "VALID", dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-        )
-    if quant:
-        wzp = ctx.smeta(op, "w_zp")
-        if wzp != 0:
-            s = _ones_conv(ctx, buf, kh, kw, x.shape[-1], (1, 1), (1, 1), dn)
-            acc = acc - jnp.int32(wzp) * s
         acc = acc + ctx.param(op, "bias")
         ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
     else:
