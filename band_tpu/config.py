@@ -98,8 +98,10 @@ class WorkerSpec:
     device_ids: Tuple[int, ...] = (0,)
     mesh_shape: Tuple[int, ...] = ()
     mesh_axes: Tuple[str, ...] = ()
-    # max dispatches in flight before the feeder thread blocks
-    dispatch_depth: int = 2
+    # max dispatches in flight before the feeder thread blocks; the
+    # worker retires a full window per completion ack, so depth also
+    # sets how many dispatch round-trips one ack amortizes
+    dispatch_depth: int = 4
     # continuous batching: up to this many queued same-subgraph requests
     # are merged into one batched (vmapped) dispatch
     max_batch: int = 1
@@ -153,15 +155,29 @@ class SubgraphConfig:
 
 @dataclass
 class MonitorConfig:
-    """Resource monitor knobs (reference: band/config.h:65-71)."""
+    """Resource monitor knobs (reference: band/config.h:65-71).
+
+    The thresholds drive resource-aware worker throttling — the policy
+    the reference wired ResourceMonitor for but never implemented
+    (band/resource_monitor.h:88-95, SURVEY §5.5): a worker above its
+    threshold reports unavailable, so latency-aware schedulers route
+    around it until the signal recovers."""
 
     enable: bool = False
     monitor_interval_ms: int = 1000
     log_path: str = ""
+    # throttle host (CPU) workers when any thermal zone exceeds this
+    # (millidegrees C, matching sysfs units); 0 disables
+    thermal_limit_mc: float = 0.0
+    # throttle a TPU worker when its HBM usage fraction exceeds this;
+    # 0 disables
+    hbm_limit_fraction: float = 0.0
 
     def validate(self) -> None:
         if self.monitor_interval_ms <= 0:
             raise ConfigError("monitor_interval_ms must be positive")
+        if not 0.0 <= self.hbm_limit_fraction <= 1.0:
+            raise ConfigError("hbm_limit_fraction must be in [0, 1]")
 
 
 @dataclass
@@ -366,6 +382,12 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
     if mon.get("enable"):
         b.enable_monitor(
             mon.get("monitor_interval_ms", 1000), mon.get("log_path", "")
+        )
+        b._cfg.monitor.thermal_limit_mc = float(
+            mon.get("thermal_limit_mc", 0.0)
+        )
+        b._cfg.monitor.hbm_limit_fraction = float(
+            mon.get("hbm_limit_fraction", 0.0)
         )
     return b.build()
 

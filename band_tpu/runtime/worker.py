@@ -45,6 +45,9 @@ class Worker:
         self._paused = False
         self._available = True
         self._throttling_until = 0.0
+        # set by resource-aware policies (thermal/HBM pressure); the
+        # worker reports unavailable so schedulers route around it
+        self._resource_throttled = False
         self._thread: Optional[threading.Thread] = None
         self._idle_cv = threading.Condition()
         self._processing = False
@@ -90,7 +93,18 @@ class Worker:
             return not (self.has_job() or self._processing)
 
     def is_available(self) -> bool:
-        return self._available and time.monotonic() >= self._throttling_until
+        return (
+            self._available
+            and not self._resource_throttled
+            and time.monotonic() >= self._throttling_until
+        )
+
+    def set_resource_throttled(self, throttled: bool) -> None:
+        if throttled != self._resource_throttled:
+            self._resource_throttled = throttled
+            if not throttled:
+                with self._cv:
+                    self._cv.notify_all()
 
     # --- queue interface (overridden) ---
     def enqueue_job(self, job: Job) -> bool:
@@ -145,7 +159,14 @@ class Worker:
                     if rec is not None:
                         inflight.append(rec)
                 if inflight and (len(inflight) >= depth or not self.has_job()):
-                    self._finish(inflight.popleft())
+                    # retire the whole window with ONE completion
+                    # observation: device programs execute in order, so
+                    # readiness of the newest dispatch implies all older
+                    # ones finished — on high-RTT transports this
+                    # amortizes the per-ack round trip across the window
+                    recs = list(inflight)
+                    inflight.clear()
+                    self._finish_window(recs)
             finally:
                 with self._idle_cv:
                     self._processing = bool(inflight)
@@ -188,13 +209,32 @@ class Worker:
                 self.engine.enqueue_finished_job(j)
             return None
 
-    def _finish(self, rec) -> None:
+    def _finish_window(self, recs) -> None:
+        """Retire several in-flight work units, blocking only on the
+        newest (in-order execution makes the older ones ready too)."""
+        if len(recs) > 1:
+            try:
+                jax.block_until_ready(recs[-1][1])
+            except Exception:
+                # a program in the window failed: fall back to
+                # per-record retirement so errors stay isolated
+                for rec in recs:
+                    self._finish(rec)
+                return
+            for rec in recs:
+                self._finish(rec, ready_hint=True)
+            return
+        for rec in recs:
+            self._finish(rec)
+
+    def _finish(self, rec, ready_hint: bool = False) -> None:
         """Retire one in-flight work unit: observe completion, update
         the cost model, hand off outputs/continuations."""
         jobs, outputs_list = rec
         key = jobs[0].subgraph_key
         try:
-            outputs_list = jax.block_until_ready(outputs_list)
+            if not ready_hint:
+                outputs_list = jax.block_until_ready(outputs_list)
         except Exception:
             for j in jobs:
                 j.status = JobStatus.INVOKE_FAILURE
@@ -395,9 +435,9 @@ class GlobalQueueWorker(Worker):
     def _max_depth(self) -> int:
         return 1  # single in-flight job by definition
 
-    def _finish(self, rec) -> None:
+    def _finish(self, rec, ready_hint: bool = False) -> None:
         try:
-            super()._finish(rec)
+            super()._finish(rec, ready_hint=ready_hint)
         finally:
             with self._cv:
                 self._current = None

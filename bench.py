@@ -27,7 +27,9 @@ MODELS = [
     "ICN_quant",
 ]
 N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "400"))
-MAX_BATCH = int(os.environ.get("BENCH_MAX_BATCH", "1"))
+# continuous batching is the engine's serving mode (the mix roofline
+# assumes filled windows); override to 1 to measure serial dispatch
+MAX_BATCH = int(os.environ.get("BENCH_MAX_BATCH", "8"))
 
 
 def model_paths():
