@@ -146,6 +146,9 @@ class Engine(EngineBase):
                 log_path=config.monitor.log_path,
                 devices=[d for devs in self._worker_devices for d in devs],
             )
+            if (config.monitor.thermal_limit_mc > 0
+                    or config.monitor.hbm_limit_fraction > 0):
+                self.resource_monitor.add_callback(self._on_resource_update)
             self.resource_monitor.start()
 
         self.planner = Planner(self, config.planner)
@@ -184,6 +187,37 @@ class Engine(EngineBase):
 
     def _worker_is_host(self, worker_id: int) -> bool:
         return self.config.worker.workers[worker_id].device == DeviceFlag.CPU
+
+    def _on_resource_update(self, snap) -> None:
+        """Resource-aware throttling policy (the consumer the reference's
+        ResourceMonitor never got, SURVEY §5.5): throttle host workers on
+        thermal pressure and TPU workers on HBM pressure; latency-aware
+        schedulers then see LARGE_WAITING_TIME and route around them."""
+        mon = self.config.monitor
+        if mon.thermal_limit_mc > 0:
+            temps = [
+                v for k, v in snap.items()
+                if k.startswith("thermal_zone") and k.endswith("_mC")
+            ]
+            hot = bool(temps) and max(temps) >= mon.thermal_limit_mc
+            for w in self.workers:
+                if self._worker_is_host(w.worker_id):
+                    w.set_resource_throttled(hot)
+        if mon.hbm_limit_fraction > 0:
+            for w, devs in zip(self.workers, self._worker_devices):
+                if self._worker_is_host(w.worker_id):
+                    continue
+                fracs = [
+                    snap[f"dev{d.id}_hbm_in_use_bytes"]
+                    / snap[f"dev{d.id}_hbm_limit_bytes"]
+                    for d in devs
+                    if snap.get(f"dev{d.id}_hbm_limit_bytes", 0) > 0
+                    and f"dev{d.id}_hbm_in_use_bytes" in snap
+                ]
+                if fracs:
+                    w.set_resource_throttled(
+                        max(fracs) >= mon.hbm_limit_fraction
+                    )
 
     # ------------------------------------------------------------------
     # model registration (reference: engine.cc:51-289)
