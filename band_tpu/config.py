@@ -181,6 +181,29 @@ class MonitorConfig:
 
 
 @dataclass
+class DistributedConfig:
+    """jax.distributed bring-up knobs (multi-host tier; the reference is
+    single-process, SURVEY §5.8).  Empty coordinator_address means
+    single-process unless auto_detect is set, in which case
+    jax.distributed.initialize() runs with no arguments and uses the
+    environment's cluster detection (TPU metadata, SLURM, ...)."""
+
+    coordinator_address: str = ""
+    num_processes: int = -1
+    process_id: int = -1
+    local_device_ids: Optional[Tuple[int, ...]] = None
+    auto_detect: bool = False
+
+    @property
+    def enabled(self) -> bool:
+        return bool(self.coordinator_address) or self.auto_detect
+
+    def validate(self) -> None:
+        if self.coordinator_address and self.num_processes == 0:
+            raise ConfigError("num_processes must be positive or -1")
+
+
+@dataclass
 class RuntimeConfig:
     """Top-level runtime config (reference: band/config.h:73-86)."""
 
@@ -189,13 +212,14 @@ class RuntimeConfig:
     worker: WorkerConfig = field(default_factory=WorkerConfig)
     subgraph: SubgraphConfig = field(default_factory=SubgraphConfig)
     monitor: MonitorConfig = field(default_factory=MonitorConfig)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
     # persistent XLA executable cache ("resume" for compilation, the
     # TPU analogue of the reference's offline latency profile reuse)
     compilation_cache_dir: str = ""
 
     def validate(self) -> None:
         for sub in (self.profile, self.planner, self.worker, self.subgraph,
-                    self.monitor):
+                    self.monitor, self.distributed):
             sub.validate()
 
 
@@ -377,6 +401,20 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
 
     if "compilation_cache_dir" in d:
         b._cfg.compilation_cache_dir = d["compilation_cache_dir"]
+
+    dist = d.get("distributed", {})
+    if dist:
+        b._cfg.distributed = DistributedConfig(
+            coordinator_address=dist.get("coordinator_address", ""),
+            num_processes=int(dist.get("num_processes", -1)),
+            process_id=int(dist.get("process_id", -1)),
+            local_device_ids=(
+                tuple(dist["local_device_ids"])
+                if dist.get("local_device_ids") is not None
+                else None
+            ),
+            auto_detect=bool(dist.get("auto_detect", False)),
+        )
 
     mon = d.get("resource_monitor", {})
     if mon.get("enable"):

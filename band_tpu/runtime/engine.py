@@ -96,6 +96,12 @@ class Engine(EngineBase):
     def __init__(self, config: RuntimeConfig):
         config.validate()
         self.config = config
+        if config.distributed.enabled:
+            # multi-host bring-up must precede the first backend use so
+            # jax.devices() is the global list (SURVEY §5.8 obligation)
+            from ..parallel.distributed import initialize
+
+            initialize(config.distributed)
         if config.compilation_cache_dir:
             jax.config.update(
                 "jax_compilation_cache_dir", config.compilation_cache_dir
@@ -496,12 +502,14 @@ class Engine(EngineBase):
             return 30 + nbytes // 10_000
         if src_host:
             return 1 + nbytes // 50_000  # host memcpy
-        same_dev = (
-            self._worker_devices[src_worker][0]
-            is self._worker_devices[dst_worker][0]
-        )
-        if same_dev:
+        src_dev = self._worker_devices[src_worker][0]
+        dst_dev = self._worker_devices[dst_worker][0]
+        if src_dev is dst_dev:
             return 0
+        if (getattr(src_dev, "process_index", 0)
+                != getattr(dst_dev, "process_index", 0)):
+            # host <-> host over DCN: ~3 GB/s + connection latency
+            return 50 + nbytes // 3_000
         # chip <-> chip over ICI: ~45 GB/s + launch overhead
         return 5 + nbytes // 45_000
 
