@@ -30,7 +30,7 @@ from ..common import (
     now_us,
 )
 from ..config import RuntimeConfig, WorkerSpec, config_hash
-from ..errors import ConfigError, DeadlineExceeded, NotFound
+from ..errors import ConfigError, DeadlineExceeded, ExecutionError, NotFound
 from ..ir.analyzer import ModelAnalyzer, SubgraphDef, build_model_spec
 from ..ir.model import Model
 from ..ir.model_spec import ModelSpec
@@ -111,6 +111,7 @@ class Engine(EngineBase):
             )
         self._models: Dict[int, _ModelRecord] = {}
         self._model_counter = 0
+        self._fault_counts: Dict[int, int] = {}
         self._lock = threading.RLock()
 
         self.latency_estimator = LatencyEstimator(
@@ -587,13 +588,36 @@ class Engine(EngineBase):
     # ------------------------------------------------------------------
     # execution (worker-side)
     # ------------------------------------------------------------------
+    def inject_fault(self, worker_id: int, count: int = 1) -> None:
+        """Chaos hook: the next `count` invokes on worker_id raise
+        ExecutionError, driving the real device-error recovery loop
+        (throttle -> re-enqueue -> reroute -> availability polling).
+        The reference has no fault-injection framework (SURVEY §5.3);
+        its failure paths are only exercised implicitly."""
+        with self._lock:
+            self._fault_counts[worker_id] = (
+                self._fault_counts.get(worker_id, 0) + count
+            )
+
+    def _maybe_fault(self, worker_id: int) -> None:
+        if not self._fault_counts:
+            return
+        with self._lock:
+            if self._fault_counts.get(worker_id, 0) > 0:
+                self._fault_counts[worker_id] -= 1
+                raise ExecutionError(
+                    f"injected fault on worker {worker_id}"
+                )
+
     def invoke(self, key: SubgraphKey, inputs: List[np.ndarray]) -> List:
+        self._maybe_fault(key.worker_id)
         rec = self._rec(key.model_id)
         return rec.executors[key.worker_id].execute(key, inputs)
 
     def invoke_batched(
         self, key: SubgraphKey, inputs_list: List[List[np.ndarray]]
     ) -> List[List]:
+        self._maybe_fault(key.worker_id)
         rec = self._rec(key.model_id)
         return rec.executors[key.worker_id].execute_batched(key, inputs_list)
 

@@ -102,7 +102,7 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
         last job's output so the clock includes on-chip completion."""
         t0 = time.perf_counter()
         ids = []
-        burst = 8
+        burst = max(8, MAX_BATCH)  # bursts must fill the batching window
         while len(ids) < n:
             m = (len(ids) // burst) % 3
             k = min(burst, n - len(ids))

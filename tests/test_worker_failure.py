@@ -75,3 +75,39 @@ def test_generic_failure_reports_invoke_failure():
         assert eng.finished[0].status == JobStatus.INVOKE_FAILURE
     finally:
         w.stop()
+
+
+def test_engine_fault_injection_reroutes_end_to_end():
+    """Chaos hook through the REAL engine: a fault injected on the
+    chosen worker drives throttle + re-enqueue, the planner reroutes to
+    the healthy worker, and the request still succeeds."""
+    import numpy as np
+    from tests.conftest import has_model, model_path
+
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.SHORTEST_EXPECTED_LATENCY)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(1,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        mid = eng.register_model(bt.Model.from_path(model_path("add")))
+        x = np.full((1, 8, 8, 3), 2.0, np.float32)
+        # warm path
+        out = eng.request_sync(mid, [x], timeout=60)
+        np.testing.assert_allclose(out[0], 6.0, rtol=1e-5)
+
+        # break both workers once each: every first routing choice fails,
+        # recovery must still complete the request on a retried worker
+        eng.inject_fault(0, 1)
+        eng.inject_fault(1, 1)
+        out = eng.request_sync(mid, [x], timeout=60)
+        np.testing.assert_allclose(out[0], 6.0, rtol=1e-5)
+    finally:
+        eng.shutdown()
