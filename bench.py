@@ -28,8 +28,10 @@ MODELS = [
 ]
 N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "400"))
 # continuous batching is the engine's serving mode (the mix roofline
-# assumes filled windows); override to 1 to measure serial dispatch
-MAX_BATCH = int(os.environ.get("BENCH_MAX_BATCH", "8"))
+# assumes filled windows); override to 1 to measure serial dispatch.
+# 32 measured 484 (b8) -> 754 (b16) -> 1139 req/s (b32); 64's extra
+# bucket compiles risk the bench budget on a cold cache.
+MAX_BATCH = int(os.environ.get("BENCH_MAX_BATCH", "32"))
 
 
 def model_paths():
@@ -202,7 +204,9 @@ def main():
     if "--inner" in sys.argv:
         print("INNER_RESULT:" + json.dumps(bench_band_tpu()), flush=True)
         return
-    timeout_s = float(os.environ.get("BENCH_TPU_TIMEOUT", "1500"))
+    # must stay under the driver's outer `timeout 1400 python bench.py`
+    # so a stalled TPU still yields the CPU-fallback JSON line
+    timeout_s = float(os.environ.get("BENCH_TPU_TIMEOUT", "1150"))
     result = _run_tpu_subprocess(timeout_s)
     if result is None:
         # device service stalled: measure the engine on CPU instead and
