@@ -164,6 +164,26 @@ def set_on_end_request(engine: Engine, c_callable) -> int:
     return 0
 
 
+def set_log_severity(level: int) -> None:
+    from ..tracing.logger import Logger, LogSeverity
+
+    Logger.get().set_verbosity(LogSeverity(level))
+
+
+def set_log_reporter(c_callable) -> int:
+    from ..tracing.logger import Logger
+
+    return Logger.get().add_reporter(
+        lambda sev, msg: c_callable(int(sev), str(msg))
+    )
+
+
+def unset_log_reporter(handle: int) -> None:
+    from ..tracing.logger import Logger
+
+    Logger.get().remove_reporter(handle)
+
+
 # C-enum mapping for numpy dtype names (band_c.h BandDataType)
 _DTYPE_TO_C = {
     "float32": 1, "int32": 2, "uint8": 3, "int64": 4, "bool": 6,

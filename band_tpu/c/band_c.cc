@@ -225,6 +225,31 @@ struct CbCtx {
   void* user_data;
 };
 
+struct LogCbCtx {
+  void (*fn)(BandLogSeverity, const char*);
+};
+
+PyObject* log_trampoline(PyObject* self, PyObject* args) {
+  LogCbCtx* ctx =
+      static_cast<LogCbCtx*>(PyCapsule_GetPointer(self, "band_tpu.logcb"));
+  int severity = 0;
+  const char* msg = nullptr;
+  if (!PyArg_ParseTuple(args, "is", &severity, &msg)) return nullptr;
+  if (ctx != nullptr && ctx->fn != nullptr) {
+    Py_BEGIN_ALLOW_THREADS
+    ctx->fn((BandLogSeverity)severity, msg);
+    Py_END_ALLOW_THREADS
+  }
+  Py_RETURN_NONE;
+}
+
+PyMethodDef g_log_cb_def = {"_band_c_log", log_trampoline, METH_VARARGS,
+                            nullptr};
+
+void log_capsule_destructor(PyObject* cap) {
+  delete static_cast<LogCbCtx*>(PyCapsule_GetPointer(cap, "band_tpu.logcb"));
+}
+
 PyObject* cb_trampoline(PyObject* self, PyObject* args) {
   CbCtx* ctx =
       static_cast<CbCtx*>(PyCapsule_GetPointer(self, "band_tpu.cb"));
@@ -251,6 +276,45 @@ void cb_capsule_destructor(PyObject* cap) {
 extern "C" {
 
 const char* BandGetLastError(void) { return t_last_error.c_str(); }
+
+/* -- logging ------------------------------------------------------------ */
+
+void BandSetLogSeverity(BandLogSeverity severity) {
+  Gil gil;
+  PyObject* r =
+      call_embed("set_log_severity", Py_BuildValue("(i)", (int)severity));
+  Py_XDECREF(r);
+}
+
+int BandSetLogReporter(void (*reporter)(BandLogSeverity, const char*)) {
+  if (reporter == nullptr) return -1;
+  Gil gil;
+  LogCbCtx* ctx = new LogCbCtx{reporter};
+  PyObject* cap = PyCapsule_New(ctx, "band_tpu.logcb", log_capsule_destructor);
+  if (cap == nullptr) {
+    delete ctx;
+    set_error_from_python();
+    return -1;
+  }
+  PyObject* fn = PyCFunction_New(&g_log_cb_def, cap);
+  Py_DECREF(cap);
+  if (fn == nullptr) {
+    set_error_from_python();
+    return -1;
+  }
+  PyObject* r = call_embed("set_log_reporter", Py_BuildValue("(N)", fn));
+  if (r == nullptr) return -1;
+  int h = (int)PyLong_AsLong(r);
+  Py_DECREF(r);
+  return h;
+}
+
+void BandUnsetLogReporter(int handle) {
+  Gil gil;
+  PyObject* r =
+      call_embed("unset_log_reporter", Py_BuildValue("(i)", handle));
+  Py_XDECREF(r);
+}
 
 /* -- config -------------------------------------------------------------- */
 

@@ -73,6 +73,21 @@ typedef struct BandRequestOption {
   float slo_scale;     /* -1: unused; else slo = worst_latency * scale */
 } BandRequestOption;
 
+typedef enum BandLogSeverity {
+  kBandLogInternal = 0,
+  kBandLogDebug = 1,
+  kBandLogInfo = 2,
+  kBandLogWarning = 3,
+  kBandLogError = 4,
+} BandLogSeverity;
+
+/* -- logging (reference: band/c/c_api.h BandSetLogSeverity/Reporter) --- */
+void BandSetLogSeverity(BandLogSeverity severity);
+/* Route engine logs into a C callback; returns a handle or -1. */
+int BandSetLogReporter(void (*reporter)(BandLogSeverity severity,
+                                        const char* msg));
+void BandUnsetLogReporter(int handle);
+
 /* Last error message of the calling thread ("" if none). Valid until the
  * next API call from the same thread. */
 const char* BandGetLastError(void);

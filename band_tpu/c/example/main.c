@@ -14,11 +14,18 @@
 #include "band_c.h"
 
 static volatile int g_callback_count = 0;
+static volatile int g_log_count = 0;
 
 static void on_end(void* user_data, int job_id, BandStatus status) {
   (void)user_data;
   (void)job_id;
   if (status == kBandOk) g_callback_count++;
+}
+
+static void on_log(BandLogSeverity severity, const char* msg) {
+  (void)severity;
+  (void)msg;
+  g_log_count++;
 }
 
 int main(int argc, char** argv) {
@@ -27,6 +34,10 @@ int main(int argc, char** argv) {
     fprintf(stderr, "usage: %s <model.tflite> [config.json]\n", argv[0]);
     return 2;
   }
+
+  BandSetLogSeverity(kBandLogDebug);
+  int log_handle = BandSetLogReporter(on_log);
+  printf("log_reporter=%d\n", log_handle >= 0);
 
   BandConfig* config = NULL;
   if (argc > 2) {
@@ -125,6 +136,7 @@ int main(int argc, char** argv) {
   BandModelDelete(model);
   BandEngineDelete(engine);
   BandConfigDelete(config);
+  BandUnsetLogReporter(log_handle);
   printf("C API OK\n");
   return 0;
 }

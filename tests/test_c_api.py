@@ -64,6 +64,7 @@ def test_c_api_round_trip(c_artifacts):
     proc = _run_example(exe, model_path("add"))
     assert proc.returncode == 0, proc.stderr + proc.stdout
     out = proc.stdout
+    assert "log_reporter=1" in out
     assert "num_workers=2" in out
     assert "inputs=1 outputs=1" in out
     # add.tflite computes 3*x; input filled with 2.0
