@@ -507,6 +507,36 @@ def _fully_connected(ctx: LowerCtx, op: OpNode) -> None:
     wzp = ctx.smeta(op, "w_zp")
     x, _ = _to_int8_domain(x, 0)
     x2 = x.reshape(-1, x.shape[-1])
+    n_out = w.shape[1]
+    # the hot int8 FC fuses contraction + bit-exact requant in one Pallas
+    # program (pallas/qmatmul.qmatmul_exact); fallback covers nonzero
+    # weight zero points, uint8 outputs, and shapes the tiling rejects
+    if (
+        ctx.conv_mode == "int8"
+        and ctx.exact
+        and wzp == 0
+        and out_td.dtype == np.int8
+        and (n_out <= 256 or n_out % 256 == 0)
+        and (x2.shape[0] <= 256 or x2.shape[0] % 256 == 0)
+    ):
+        from .pallas.qmatmul import qmatmul_exact
+
+        qm = jnp.broadcast_to(
+            jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1), (n_out,)
+        )
+        shift = jnp.broadcast_to(
+            jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
+            (n_out,),
+        )
+        out = qmatmul_exact(
+            x2, w, ctx.param(op, "bias"), qm, shift,
+            out_zp=int(ctx.smeta(op, "out_zp")),
+            qmin=int(ctx.smeta(op, "qmin")),
+            qmax=int(ctx.smeta(op, "qmax")),
+            rounding=ctx.smeta(op, "rounding"),
+        )
+        ctx.set(op.outputs[0], out.reshape(out_td.shape))
+        return
     acc = _int_dot(ctx, x2, w)  # [batch, out]
     if wzp != 0:
         # -wzp * sum(raw x'); the xzp cross-terms are folded into bias_eff

@@ -95,3 +95,80 @@ def qmatmul_reference(a, b, bias, mult, out_zp=0, qmin=-128, qmax=127):
     acc = a.astype(np.int64) @ b.astype(np.int64) + bias.astype(np.int64)
     scaled = np.rint(acc.astype(np.float32) * mult.astype(np.float32))
     return np.clip(scaled + out_zp, qmin, qmax).astype(np.int8)
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact variant: the TFLite fixed-point requant pipeline runs on the
+# VPU inside the kernel (32-bit limb SRDHM from ops/quant.py), so the
+# serving path's FULLY_CONNECTED can fuse contraction + exact requant in
+# one Pallas program.
+# ---------------------------------------------------------------------------
+
+def _qmatmul_exact_kernel(a_ref, b_ref, bias_ref, qm_ref, shift_ref,
+                          out_ref, *, out_zp: int, qmin: int, qmax: int,
+                          rounding: str):
+    from .. import quant as Q
+
+    acc = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+    acc = acc + bias_ref[:]
+    out_ref[:] = Q.requantize_exact(
+        acc, qm_ref[:], shift_ref[:], out_zp, qmin, qmax, out_ref.dtype,
+        rounding=rounding,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_zp", "qmin", "qmax", "rounding", "tile_m",
+                     "tile_n"),
+)
+def qmatmul_exact(
+    a: jax.Array,      # [M, K] int8
+    b: jax.Array,      # [K, N] int8
+    bias: jax.Array,   # [N] int32 (zero-point-folded)
+    qm: jax.Array,     # [N] int32 fixed-point multipliers
+    shift: jax.Array,  # [N] int32
+    out_zp: int = 0,
+    qmin: int = -128,
+    qmax: int = 127,
+    rounding: str = "ruy",
+    tile_m: int = 256,
+    tile_n: int = 256,
+) -> jax.Array:
+    M, K = a.shape
+    K2, N = b.shape
+    assert K == K2
+    tile_m = min(tile_m, M)
+    tile_n = min(tile_n, N)
+    assert M % tile_m == 0 and N % tile_n == 0, (
+        f"dims ({M},{N}) must tile by ({tile_m},{tile_n})"
+    )
+    grid = (M // tile_m, N // tile_n)
+    kernel = functools.partial(
+        _qmatmul_exact_kernel, out_zp=out_zp, qmin=qmin, qmax=qmax,
+        rounding=rounding,
+    )
+    col = pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int8),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_m, K), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, tile_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                col, col, col,
+            ],
+            out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N + 12 * N,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(a, b, bias.reshape(1, N), qm.reshape(1, N), shift.reshape(1, N))

@@ -29,3 +29,61 @@ def test_qmatmul_saturation(rng):
     mult = np.full(N, 1.0, np.float32)  # huge multiplier -> saturate
     out = np.asarray(qmatmul(a, b, bias, mult))
     assert (out == 127).all()
+
+
+def test_qmatmul_exact_matches_requant_pipeline(rng):
+    """The in-kernel ruy requant must be bit-identical to the plain
+    requantize_exact over the same accumulator (per-channel qm/shift)."""
+    import jax.numpy as jnp
+
+    import band_tpu.ops.quant as Q
+    from band_tpu.ops.pallas.qmatmul import qmatmul_exact
+
+    M, K, N = 64, 96, 256
+    a = rng.integers(-128, 128, (M, K)).astype(np.int8)
+    b = rng.integers(-128, 128, (K, N)).astype(np.int8)
+    bias = rng.integers(-5000, 5000, (N,)).astype(np.int32)
+    qm, shift = Q.quantize_multipliers(
+        rng.random(N).astype(np.float64) * 2e-4 + 1e-5
+    )
+    out = np.asarray(
+        qmatmul_exact(a, b, bias.copy(), qm, shift, out_zp=-1,
+                      rounding="ruy")
+    )
+    acc = a.astype(np.int64) @ b.astype(np.int64) + bias
+    ref = np.asarray(
+        Q.requantize_exact(jnp.asarray(acc.astype(np.int32)), qm, shift,
+                           -1, -128, 127, np.int8, rounding="ruy")
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_fc_lowering_via_pallas_bit_exact(rng):
+    """conv_mode=int8 routes quantized FULLY_CONNECTED through the
+    Pallas fused kernel; the generated FC model must stay bit-exact
+    against the TFLite oracle through that path."""
+    import os
+
+    import jax
+
+    from band_tpu.backend.program import build_program
+    from band_tpu.tflite.parser import parse_tflite_file
+    from tests.conftest import make_tfl_interpreter
+
+    path = os.path.join(os.path.dirname(__file__), "data", "fc_int8.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    g = parse_tflite_file(path)
+    it = make_tfl_interpreter(path)
+    x = rng.integers(-128, 128, (1, 16, 16, 8)).astype(np.int8)
+    it.allocate_tensors()
+    it.set_tensor(it.get_input_details()[0]["index"], x)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+
+    prog = build_program(g, range(len(g.ops)), exact=True, conv_mode="int8")
+    fn = jax.jit(prog.make_fn())
+    out = np.asarray(
+        fn({k: np.asarray(v) for k, v in prog.params.items()}, [x])[0]
+    )
+    np.testing.assert_array_equal(out, ref)
