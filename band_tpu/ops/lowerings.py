@@ -394,6 +394,46 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
     xzp = ctx.smeta(op, "x_zp")
     wzp = ctx.smeta(op, "w_zp")
     x, _ = _to_int8_domain(x, 0)
+    # pointwise (1x1/s1) convs are matmuls: fuse contraction + bit-exact
+    # requant in one Pallas program (the dominant op class of the
+    # mobilenet family); conditions mirror the FC routing
+    out_td = g.tensor(op.outputs[0])
+    if (
+        ctx.conv_mode == "int8"
+        and ctx.exact
+        and wzp == 0
+        and (kh, kw) == (1, 1)
+        and strides == (1, 1)
+        and dil == (1, 1)
+        and ph == (0, 0)
+        and pw == (0, 0)
+        and out_td.dtype == np.int8
+        and (w.shape[-1] <= 256 or w.shape[-1] % 256 == 0)
+    ):
+        from .pallas.qmatmul import qmatmul_exact
+
+        n, hh, ww, ci = x.shape
+        oc = w.shape[-1]
+        m = n * hh * ww
+        if m <= 256 or m % 256 == 0:
+            qm = jnp.broadcast_to(
+                jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1),
+                (oc,),
+            )
+            shift = jnp.broadcast_to(
+                jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
+                (oc,),
+            )
+            out = qmatmul_exact(
+                x.reshape(m, ci), w.reshape(ci, oc),
+                ctx.param(op, "bias"), qm, shift,
+                out_zp=int(ctx.smeta(op, "out_zp")),
+                qmin=int(ctx.smeta(op, "qmin")),
+                qmax=int(ctx.smeta(op, "qmax")),
+                rounding=ctx.smeta(op, "rounding"),
+            )
+            ctx.set(op.outputs[0], out.reshape(n, hh, ww, oc))
+            return
     # pad explicitly with the zero point so padded taps vanish in real space
     x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
                     constant_values=np.int8(xzp))

@@ -87,3 +87,30 @@ def test_fc_lowering_via_pallas_bit_exact(rng):
         fn({k: np.asarray(v) for k, v in prog.params.items()}, [x])[0]
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pointwise_conv_via_pallas_bit_exact(rng):
+    """1x1 convs route through the fused Pallas kernel in int8 mode;
+    a retinaface pointwise conv must agree with the f32_split exact
+    path (interpret mode on the CPU platform)."""
+    from band_tpu.backend.program import build_program
+    from band_tpu.tflite.parser import parse_tflite_file
+    from tests.conftest import has_model, model_path
+
+    if not has_model("retinaface_mbv2_quant_160"):
+        pytest.skip("reference model not available")
+    import jax
+
+    g = parse_tflite_file(model_path("retinaface_mbv2_quant_160"))
+    op = next(
+        op for op in g.ops
+        if op.opname == "CONV_2D" and g.tensor(op.inputs[1]).shape[1] == 1
+        and g.tensor(op.inputs[1]).shape[2] == 1
+    )
+    prog = build_program(g, [op.index], exact=True, conv_mode="int8")
+    params = {k: np.asarray(v) for k, v in prog.params.items()}
+    xs = [rng.integers(-128, 128, s).astype(d) for s, d in prog.input_specs]
+    a = np.asarray(jax.jit(prog.make_fn())(params, xs)[0])
+    prog2 = build_program(g, [op.index], exact=True, conv_mode="f32_split")
+    b = np.asarray(jax.jit(prog2.make_fn())(params, xs)[0])
+    np.testing.assert_array_equal(a, b)
