@@ -353,6 +353,30 @@ def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     )
 
 
+def _pallas_qmm(ctx: LowerCtx, op: OpNode, x2, w2, wzp: int, out_td):
+    """Fused Pallas int8 matmul + bit-exact requant for ops that reduce
+    to a GEMM (FC, pointwise conv).  x2 [M, K] int8-domain, w2 [K, N]."""
+    from .pallas.qmatmul import qmatmul_exact
+
+    n_out = w2.shape[1]
+    qm = jnp.broadcast_to(
+        jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1), (n_out,)
+    )
+    shift = jnp.broadcast_to(
+        jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
+        (n_out,),
+    )
+    return qmatmul_exact(
+        x2, w2, ctx.param(op, "bias"), qm, shift,
+        out_zp=int(ctx.smeta(op, "out_zp")),
+        qmin=int(ctx.smeta(op, "qmin")),
+        qmax=int(ctx.smeta(op, "qmax")),
+        rounding=ctx.smeta(op, "rounding"),
+        w_zp=int(wzp),
+        out_dtype=out_td.dtype,
+    )
+
+
 def _conv_requant(ctx: LowerCtx, op: OpNode, acc):
     qmin = ctx.smeta(op, "qmin")
     qmax = ctx.smeta(op, "qmax")
@@ -401,37 +425,19 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
     if (
         ctx.conv_mode == "int8"
         and ctx.exact
-        and wzp == 0
         and (kh, kw) == (1, 1)
         and strides == (1, 1)
         and dil == (1, 1)
         and ph == (0, 0)
         and pw == (0, 0)
-        and out_td.dtype == np.int8
         and (w.shape[-1] <= 256 or w.shape[-1] % 256 == 0)
     ):
-        from .pallas.qmatmul import qmatmul_exact
-
         n, hh, ww, ci = x.shape
         oc = w.shape[-1]
         m = n * hh * ww
         if m <= 256 or m % 256 == 0:
-            qm = jnp.broadcast_to(
-                jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1),
-                (oc,),
-            )
-            shift = jnp.broadcast_to(
-                jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
-                (oc,),
-            )
-            out = qmatmul_exact(
-                x.reshape(m, ci), w.reshape(ci, oc),
-                ctx.param(op, "bias"), qm, shift,
-                out_zp=int(ctx.smeta(op, "out_zp")),
-                qmin=int(ctx.smeta(op, "qmin")),
-                qmax=int(ctx.smeta(op, "qmax")),
-                rounding=ctx.smeta(op, "rounding"),
-            )
+            out = _pallas_qmm(ctx, op, x.reshape(m, ci), w.reshape(ci, oc),
+                              wzp, out_td)
             ctx.set(op.outputs[0], out.reshape(n, hh, ww, oc))
             return
     # pad explicitly with the zero point so padded taps vanish in real space
@@ -548,33 +554,16 @@ def _fully_connected(ctx: LowerCtx, op: OpNode) -> None:
     x, _ = _to_int8_domain(x, 0)
     x2 = x.reshape(-1, x.shape[-1])
     n_out = w.shape[1]
-    # the hot int8 FC fuses contraction + bit-exact requant in one Pallas
-    # program (pallas/qmatmul.qmatmul_exact); fallback covers nonzero
-    # weight zero points, uint8 outputs, and shapes the tiling rejects
+    # the hot int8 FC fuses contraction + bit-exact requant (and the
+    # per-tensor weight-zp row-sum correction) in one Pallas program;
+    # fallback covers shapes the tiling rejects
     if (
         ctx.conv_mode == "int8"
         and ctx.exact
-        and wzp == 0
-        and out_td.dtype == np.int8
         and (n_out <= 256 or n_out % 256 == 0)
         and (x2.shape[0] <= 256 or x2.shape[0] % 256 == 0)
     ):
-        from .pallas.qmatmul import qmatmul_exact
-
-        qm = jnp.broadcast_to(
-            jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1), (n_out,)
-        )
-        shift = jnp.broadcast_to(
-            jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
-            (n_out,),
-        )
-        out = qmatmul_exact(
-            x2, w, ctx.param(op, "bias"), qm, shift,
-            out_zp=int(ctx.smeta(op, "out_zp")),
-            qmin=int(ctx.smeta(op, "qmin")),
-            qmax=int(ctx.smeta(op, "qmax")),
-            rounding=ctx.smeta(op, "rounding"),
-        )
+        out = _pallas_qmm(ctx, op, x2, w, wzp, out_td)
         ctx.set(op.outputs[0], out.reshape(out_td.shape))
         return
     acc = _int_dot(ctx, x2, w)  # [batch, out]

@@ -106,11 +106,21 @@ def qmatmul_reference(a, b, bias, mult, out_zp=0, qmin=-128, qmax=127):
 
 def _qmatmul_exact_kernel(a_ref, b_ref, bias_ref, qm_ref, shift_ref,
                           out_ref, *, out_zp: int, qmin: int, qmax: int,
-                          rounding: str):
+                          rounding: str, w_zp: int):
     from .. import quant as Q
 
     acc = jnp.dot(a_ref[:], b_ref[:], preferred_element_type=jnp.int32)
+    if w_zp != 0:
+        # per-tensor weight zero point (uint8-era models): subtract
+        # w_zp * row-sum(x); the x_zp cross terms are folded into bias
+        row_sum = jnp.sum(
+            a_ref[:].astype(jnp.int32), axis=1, keepdims=True
+        )
+        acc = acc - jnp.int32(w_zp) * row_sum
     acc = acc + bias_ref[:]
+    # requant clamps into [qmin, qmax] of the output dtype's own domain
+    # (uint8 outputs use 0..255 with the original zero point), so a
+    # plain cast finishes the job
     out_ref[:] = Q.requantize_exact(
         acc, qm_ref[:], shift_ref[:], out_zp, qmin, qmax, out_ref.dtype,
         rounding=rounding,
@@ -119,8 +129,8 @@ def _qmatmul_exact_kernel(a_ref, b_ref, bias_ref, qm_ref, shift_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_zp", "qmin", "qmax", "rounding", "tile_m",
-                     "tile_n"),
+    static_argnames=("out_zp", "qmin", "qmax", "rounding", "w_zp",
+                     "out_dtype", "tile_m", "tile_n"),
 )
 def qmatmul_exact(
     a: jax.Array,      # [M, K] int8
@@ -132,6 +142,8 @@ def qmatmul_exact(
     qmin: int = -128,
     qmax: int = 127,
     rounding: str = "ruy",
+    w_zp: int = 0,
+    out_dtype=jnp.int8,
     tile_m: int = 256,
     tile_n: int = 256,
 ) -> jax.Array:
@@ -146,13 +158,13 @@ def qmatmul_exact(
     grid = (M // tile_m, N // tile_n)
     kernel = functools.partial(
         _qmatmul_exact_kernel, out_zp=out_zp, qmin=qmin, qmax=qmax,
-        rounding=rounding,
+        rounding=rounding, w_zp=w_zp,
     )
     col = pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[

@@ -114,3 +114,31 @@ def test_pointwise_conv_via_pallas_bit_exact(rng):
     prog2 = build_program(g, [op.index], exact=True, conv_mode="f32_split")
     b = np.asarray(jax.jit(prog2.make_fn())(params, xs)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_uint8_pointwise_conv_via_pallas_bit_exact(rng):
+    """uint8-era models: per-tensor weights (nonzero shifted w_zp,
+    in-kernel row-sum correction) and uint8 outputs."""
+    from band_tpu.backend.program import build_program
+    from band_tpu.tflite.parser import parse_tflite_file
+    from tests.conftest import has_model, model_path
+
+    if not has_model("mobilenet_v2_1.0_224_quant"):
+        pytest.skip("reference model not available")
+    import jax
+
+    g = parse_tflite_file(model_path("mobilenet_v2_1.0_224_quant"))
+    op = next(
+        op for op in g.ops
+        if op.opname == "CONV_2D" and g.tensor(op.inputs[1]).shape[1] == 1
+        and g.tensor(op.inputs[1]).shape[2] == 1
+        and g.tensor(op.inputs[0]).shape[1] <= 14  # keep CPU int8 conv fast
+    )
+    prog = build_program(g, [op.index], exact=True, conv_mode="int8")
+    params = {k: np.asarray(v) for k, v in prog.params.items()}
+    xs = [rng.integers(0, 256, s).astype(d) for s, d in prog.input_specs]
+    a = np.asarray(jax.jit(prog.make_fn())(params, xs)[0])
+    prog2 = build_program(g, [op.index], exact=True, conv_mode="f32_split")
+    b = np.asarray(jax.jit(prog2.make_fn())(params, xs)[0])
+    assert a.dtype == b.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
