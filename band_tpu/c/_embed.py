@@ -193,3 +193,113 @@ _DTYPE_TO_C = {
 
 def dtype_to_c(name: str) -> int:
     return _DTYPE_TO_C.get(name, 0)
+
+
+# -- buffer + image processor (band_c.h BandBuffer/BandImageProcessor) --
+
+
+def _c_buffer_format(fmt: int):
+    from ..buffer.buffer import BufferFormat
+
+    # band_c.h BandBufferFormat values (= reference c_api_type.h:104-117)
+    table = {
+        0: BufferFormat.GRAY, 1: BufferFormat.RGB, 2: BufferFormat.RGBA,
+        3: BufferFormat.YV12, 4: BufferFormat.YV21, 5: BufferFormat.NV21,
+        6: BufferFormat.NV12, 7: BufferFormat.RAW,
+    }
+    if fmt not in table:
+        raise ValueError(f"unknown buffer format enum {fmt}")
+    return table[fmt]
+
+
+def buffer_from_raw(data: bytes, width: int, height: int, fmt: int):
+    """Single-blob image → Buffer (band_c.h BandBufferSetFromRawData)."""
+    from ..buffer.buffer import Buffer, BufferFormat
+
+    f = _c_buffer_format(fmt)
+    w, h = int(width), int(height)
+    a = np.frombuffer(data, np.uint8)
+    if f == BufferFormat.GRAY:
+        return Buffer.from_numpy(a[: w * h].reshape(h, w).copy(), f)
+    if f == BufferFormat.RGB:
+        return Buffer.from_numpy(a[: w * h * 3].reshape(h, w, 3).copy(), f)
+    if f == BufferFormat.RGBA:
+        return Buffer.from_numpy(a[: w * h * 4].reshape(h, w, 4).copy(), f)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    y = a[: w * h].reshape(h, w).copy()
+    rest = a[w * h:]
+    if f in (BufferFormat.NV12, BufferFormat.NV21):
+        uv = rest[: w * ch].reshape(ch, w).copy()
+        return Buffer.from_yuv(y, uv, None, f)
+    # Planar: planes follow in the format's memory order; from_yuv stores
+    # them in order and the color converter swaps per format.
+    q = cw * ch
+    p1 = rest[:q].reshape(ch, cw).copy()
+    p2 = rest[q: 2 * q].reshape(ch, cw).copy()
+    return Buffer.from_yuv(y, p1, p2, f)
+
+
+def buffer_from_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
+                    row_stride_y: int, row_stride_uv: int,
+                    pixel_stride_uv: int, fmt: int):
+    """Stride-aware YUV planes → Buffer (BandBufferSetFromYUVData)."""
+    from ..buffer.buffer import Buffer, BufferFormat
+
+    f = _c_buffer_format(fmt)
+    w, h = int(width), int(height)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    y_arr = (np.frombuffer(y, np.uint8)
+             .reshape(h, int(row_stride_y))[:, :w].copy())
+    if f in (BufferFormat.NV12, BufferFormat.NV21):
+        uv = (np.frombuffer(u, np.uint8)
+              .reshape(ch, int(row_stride_uv))[:, :w].copy())
+        return Buffer.from_yuv(y_arr, uv, None, f)
+
+    def plane(raw: bytes) -> np.ndarray:
+        p = np.frombuffer(raw, np.uint8).reshape(ch, int(row_stride_uv))
+        return p[:, ::int(pixel_stride_uv)][:, :cw].copy()
+
+    u_arr, v_arr = plane(u), plane(v)
+    # from_yuv stores planes in memory order: YV21/I420 is U-then-V,
+    # YV12 is V-then-U (see image_ops._yuv_to_rgb).
+    p1, p2 = (u_arr, v_arr) if f == BufferFormat.YV21 else (v_arr, u_arr)
+    return Buffer.from_yuv(y_arr, p1, p2, f)
+
+
+def image_process(ops, buf, dims, dtype: str) -> bytes:
+    """Run an op list (or the auto pipeline when empty) and return the
+    raw output bytes for a target tensor of the given dims/dtype."""
+    from ..buffer.processor import ImageProcessorBuilder
+
+    b = ImageProcessorBuilder()
+    if not ops:
+        b.add_auto_convert(list(dims), np.dtype(dtype))
+    for field, args in ops:
+        if field == 0:  # BAND_CROP
+            b.add_crop(*(int(a) for a in args))
+        elif field == 1:  # BAND_RESIZE
+            b.add_resize(int(args[0]), int(args[1]))
+        elif field == 2:  # BAND_ROTATE
+            b.add_rotate(int(args[0]))
+        elif field == 3:  # BAND_FLIP (horizontal, vertical)
+            if int(args[0]):
+                b.add_flip(True)
+            if int(args[1]):
+                b.add_flip(False)
+        elif field == 4:  # BAND_COLOR_SPACE_CONVERT
+            b.add_color_space_convert(_c_buffer_format(int(args[0])))
+        elif field == 5:  # BAND_NORMALIZE
+            b.add_normalize(float(args[0]), float(args[1]))
+        elif field == 6:  # BAND_DATA_TYPE_CONVERT → target tensor dtype
+            b.add_data_type_convert(np.dtype(dtype))
+        else:
+            raise ValueError(f"unknown image processor field {field}")
+    out = np.ascontiguousarray(b.build().process(buf).array())
+    expected = int(np.prod([int(d) for d in dims] or [1]))
+    expected *= np.dtype(dtype).itemsize
+    if out.nbytes != expected:
+        raise ValueError(
+            f"image pipeline produced {out.nbytes} bytes for a "
+            f"{expected}-byte target tensor {list(dims)}:{dtype}"
+        )
+    return out.tobytes()

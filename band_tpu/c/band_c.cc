@@ -14,6 +14,7 @@
 #define PY_SSIZE_T_CLEAN  // '#' length args are Py_ssize_t, not int
 #include <Python.h>
 
+#include <cstdarg>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -111,6 +112,18 @@ struct BandTensor {
   std::string dtype;  // numpy dtype name
   std::string name;
   std::vector<unsigned char> data;
+};
+
+struct BandBuffer {
+  PyObject* buf = nullptr;  // owned band_tpu.buffer.Buffer (set by Set*)
+};
+
+struct BandImageProcessorBuilder {
+  PyObject* ops;  // owned list of (field:int, (args...)) tuples
+};
+
+struct BandImageProcessor {
+  PyObject* ops;  // owned snapshot of the builder's op list
 };
 
 namespace {
@@ -666,6 +679,215 @@ int BandEngineSetOnEndRequest(BandEngine* engine,
   int h = (int)PyLong_AsLong(r);
   Py_DECREF(r);
   return h;
+}
+
+/* -- buffer + image processor --------------------------------------------- */
+
+BandBuffer* BandBufferCreate(void) { return new BandBuffer(); }
+
+void BandBufferDelete(BandBuffer* buffer) {
+  if (buffer == nullptr) return;
+  {
+    Gil gil;
+    Py_XDECREF(buffer->buf);
+  }
+  delete buffer;
+}
+
+BandStatus BandBufferSetFromRawData(BandBuffer* buffer, const void* data,
+                                    size_t width, size_t height,
+                                    BandBufferFormat format) {
+  if (buffer == nullptr || data == nullptr) {
+    set_error("buffer or data is null");
+    return kBandError;
+  }
+  // Total blob size by format (4:2:0 chroma planes round odd dims up).
+  size_t wh = width * height;
+  size_t cw = (width + 1) / 2, ch = (height + 1) / 2;
+  size_t nbytes;
+  switch (format) {
+    case kBandGrayScale: nbytes = wh; break;
+    case kBandRGB: nbytes = wh * 3; break;
+    case kBandRGBA: nbytes = wh * 4; break;
+    case kBandNV12:
+    case kBandNV21: nbytes = wh + width * ch; break;
+    case kBandYV12:
+    case kBandYV21: nbytes = wh + 2 * cw * ch; break;
+    default:
+      set_error("unsupported raw buffer format");
+      return kBandError;
+  }
+  Gil gil;
+  PyObject* b = call_embed(
+      "buffer_from_raw",
+      Py_BuildValue("(y#nni)", reinterpret_cast<const char*>(data),
+                    (Py_ssize_t)nbytes, (Py_ssize_t)width, (Py_ssize_t)height,
+                    (int)format));
+  if (b == nullptr) return kBandError;
+  Py_XDECREF(buffer->buf);
+  buffer->buf = b;
+  return kBandOk;
+}
+
+BandStatus BandBufferSetFromYUVData(BandBuffer* buffer, const void* y_data,
+                                    const void* u_data, const void* v_data,
+                                    size_t width, size_t height,
+                                    size_t row_stride_y, size_t row_stride_uv,
+                                    size_t pixel_stride_uv,
+                                    BandBufferFormat buffer_format) {
+  bool semiplanar =
+      buffer_format == kBandNV12 || buffer_format == kBandNV21;
+  if (buffer == nullptr || y_data == nullptr || u_data == nullptr ||
+      (!semiplanar && v_data == nullptr)) {
+    set_error("buffer or YUV plane is null");
+    return kBandError;
+  }
+  size_t ch = (height + 1) / 2;
+  size_t y_bytes = row_stride_y * height;
+  size_t uv_bytes = row_stride_uv * ch;
+  Gil gil;
+  const char* v_ptr =
+      v_data != nullptr ? reinterpret_cast<const char*>(v_data) : "";
+  PyObject* b = call_embed(
+      "buffer_from_yuv",
+      Py_BuildValue("(y#y#y#nnnnni)", reinterpret_cast<const char*>(y_data),
+                    (Py_ssize_t)y_bytes,
+                    reinterpret_cast<const char*>(u_data),
+                    (Py_ssize_t)uv_bytes, v_ptr,
+                    (Py_ssize_t)(semiplanar ? 0 : uv_bytes),
+                    (Py_ssize_t)width, (Py_ssize_t)height,
+                    (Py_ssize_t)row_stride_y, (Py_ssize_t)row_stride_uv,
+                    (Py_ssize_t)pixel_stride_uv, (int)buffer_format));
+  if (b == nullptr) return kBandError;
+  Py_XDECREF(buffer->buf);
+  buffer->buf = b;
+  return kBandOk;
+}
+
+BandImageProcessorBuilder* BandImageProcessorBuilderCreate(void) {
+  Gil gil;
+  PyObject* ops = PyList_New(0);
+  if (ops == nullptr) {
+    set_error_from_python();
+    return nullptr;
+  }
+  return new BandImageProcessorBuilder{ops};
+}
+
+void BandImageProcessorBuilderDelete(BandImageProcessorBuilder* builder) {
+  if (builder == nullptr) return;
+  {
+    Gil gil;
+    Py_XDECREF(builder->ops);
+  }
+  delete builder;
+}
+
+BandStatus BandAddOperator(BandImageProcessorBuilder* builder,
+                           BandImageProcessorBuilderField field, int count,
+                           ...) {
+  if (builder == nullptr) {
+    set_error("builder is null");
+    return kBandError;
+  }
+  // Expected arity + argument kind per field (reference:
+  // band/c/c_api_buffer.cc BandAddOperator): ints everywhere except
+  // BAND_NORMALIZE, which takes doubles.
+  int expected;
+  switch (field) {
+    case BAND_CROP: expected = 4; break;
+    case BAND_RESIZE: expected = 2; break;
+    case BAND_ROTATE: expected = 1; break;
+    case BAND_FLIP: expected = 2; break;
+    case BAND_COLOR_SPACE_CONVERT: expected = 1; break;
+    case BAND_NORMALIZE: expected = 2; break;
+    case BAND_DATA_TYPE_CONVERT: expected = 0; break;
+    default:
+      set_error("unknown image processor field");
+      return kBandError;
+  }
+  if (count != expected) {
+    set_error("wrong argument count for image processor field");
+    return kBandError;
+  }
+  Gil gil;
+  PyObject* args = PyTuple_New(count);
+  va_list vl;
+  va_start(vl, count);
+  for (int i = 0; i < count; ++i) {
+    PyObject* v = field == BAND_NORMALIZE
+                      ? PyFloat_FromDouble(va_arg(vl, double))
+                      : PyLong_FromLong(va_arg(vl, int));
+    PyTuple_SET_ITEM(args, i, v);
+  }
+  va_end(vl);
+  PyObject* entry = Py_BuildValue("(iN)", (int)field, args);
+  int rc = PyList_Append(builder->ops, entry);
+  Py_DECREF(entry);
+  if (rc != 0) {
+    set_error_from_python();
+    return kBandError;
+  }
+  return kBandOk;
+}
+
+BandImageProcessor* BandImageProcessorBuilderBuild(
+    BandImageProcessorBuilder* builder) {
+  if (builder == nullptr) {
+    set_error("builder is null");
+    return nullptr;
+  }
+  Gil gil;
+  PyObject* snapshot = PySequence_List(builder->ops);
+  if (snapshot == nullptr) {
+    set_error_from_python();
+    return nullptr;
+  }
+  return new BandImageProcessor{snapshot};
+}
+
+BandStatus BandImageProcessorProcess(BandImageProcessor* image_processor,
+                                     BandBuffer* buffer,
+                                     BandTensor* target_tensor) {
+  if (image_processor == nullptr || buffer == nullptr ||
+      target_tensor == nullptr || buffer->buf == nullptr) {
+    set_error("image processor, buffer (set?), or tensor is null");
+    return kBandError;
+  }
+  Gil gil;
+  PyObject* dims = PyList_New((Py_ssize_t)target_tensor->dims.size());
+  for (size_t d = 0; d < target_tensor->dims.size(); ++d) {
+    PyList_SET_ITEM(dims, (Py_ssize_t)d,
+                    PyLong_FromLong(target_tensor->dims[d]));
+  }
+  PyObject* r = call_embed(
+      "image_process",
+      Py_BuildValue("(OONs)", image_processor->ops, buffer->buf, dims,
+                    target_tensor->dtype.c_str()));
+  if (r == nullptr) return kBandError;
+  char* buf = nullptr;
+  Py_ssize_t len = 0;
+  BandStatus status = kBandOk;
+  if (PyBytes_AsStringAndSize(r, &buf, &len) != 0) {
+    set_error_from_python();
+    status = kBandError;
+  } else if ((size_t)len != target_tensor->data.size()) {
+    set_error("image pipeline output size does not match target tensor");
+    status = kBandError;
+  } else {
+    std::memcpy(target_tensor->data.data(), buf, (size_t)len);
+  }
+  Py_DECREF(r);
+  return status;
+}
+
+void BandImageProcessorDelete(BandImageProcessor* processor) {
+  if (processor == nullptr) return;
+  {
+    Gil gil;
+    Py_XDECREF(processor->ops);
+  }
+  delete processor;
 }
 
 }  // extern "C"

@@ -165,6 +165,90 @@ int BandEngineSetOnEndRequest(BandEngine* engine,
                                                     BandStatus status),
                               void* user_data);
 
+/* -- buffer + image processor (reference: band/c/c_api_buffer.h) -------- */
+
+/* User-provided image buffer; the library copies the pixel data, so the
+ * caller's memory only needs to stay valid for the Set call. */
+typedef struct BandBuffer BandBuffer;
+/* A built pipeline of image operations converting a BandBuffer into a
+ * model input BandTensor. An empty builder yields the automatic pipeline
+ * (orientation fix + color convert + resize to the tensor's HxW + data
+ * type convert), matching the reference default. */
+typedef struct BandImageProcessor BandImageProcessor;
+typedef struct BandImageProcessorBuilder BandImageProcessorBuilder;
+
+/* Values match the reference's BandBufferFormat
+ * (band/c/c_api_type.h:104-117). */
+typedef enum BandBufferFormat {
+  kBandGrayScale = 0,
+  kBandRGB = 1,
+  kBandRGBA = 2,
+  kBandYV12 = 3,
+  kBandYV21 = 4,
+  kBandNV21 = 5,
+  kBandNV12 = 6,
+  kBandRaw = 7,
+} BandBufferFormat;
+
+/* Values match the reference's BandImageProcessorBuilderField
+ * (band/c/c_api_type.h:178-186). */
+typedef enum BandImageProcessorBuilderField {
+  BAND_CROP = 0,
+  BAND_RESIZE = 1,
+  BAND_ROTATE = 2,
+  BAND_FLIP = 3,
+  BAND_COLOR_SPACE_CONVERT = 4,
+  BAND_NORMALIZE = 5,
+  BAND_DATA_TYPE_CONVERT = 6,
+} BandImageProcessorBuilderField;
+
+BandBuffer* BandBufferCreate(void);
+void BandBufferDelete(BandBuffer* buffer);
+
+/* Interleaved single-blob image data. GRAY/RGB/RGBA are w*h*channels
+ * bytes; YUV 4:2:0 formats are the Y plane followed by the chroma
+ * plane(s) in the format's memory order (NV12: interleaved UV; NV21:
+ * interleaved VU; YV21/I420: U then V; YV12: V then U). */
+BandStatus BandBufferSetFromRawData(BandBuffer* buffer, const void* data,
+                                    size_t width, size_t height,
+                                    BandBufferFormat format);
+
+/* Explicit YUV 4:2:0 planes with strides. For NV12/NV21, u_data points at
+ * the interleaved chroma plane and v_data is ignored (may be NULL). */
+BandStatus BandBufferSetFromYUVData(BandBuffer* buffer, const void* y_data,
+                                    const void* u_data, const void* v_data,
+                                    size_t width, size_t height,
+                                    size_t row_stride_y, size_t row_stride_uv,
+                                    size_t pixel_stride_uv,
+                                    BandBufferFormat buffer_format);
+
+BandImageProcessorBuilder* BandImageProcessorBuilderCreate(void);
+void BandImageProcessorBuilderDelete(BandImageProcessorBuilder* builder);
+BandImageProcessor* BandImageProcessorBuilderBuild(
+    BandImageProcessorBuilder* builder);
+
+/* Append one operator. Variadic arguments per field (reference:
+ * band/c/c_api_buffer.cc BandAddOperator):
+ *   BAND_CROP               4 ints: x0, y0, x1, y1 (inclusive)
+ *   BAND_RESIZE             2 ints: width, height
+ *   BAND_ROTATE             1 int: counter-clockwise degrees (x90)
+ *   BAND_FLIP               2 ints: horizontal, vertical (0/1)
+ *   BAND_COLOR_SPACE_CONVERT 1 int: BandBufferFormat target
+ *   BAND_NORMALIZE          2 doubles: mean, std
+ *   BAND_DATA_TYPE_CONVERT  0 args (converts to the target tensor dtype)
+ */
+BandStatus BandAddOperator(BandImageProcessorBuilder* builder,
+                           BandImageProcessorBuilderField field, int count,
+                           ...);
+
+/* Run the pipeline on buffer and write the result into target_tensor
+ * (its dims/dtype define the target for the automatic pipeline and for
+ * BAND_DATA_TYPE_CONVERT). */
+BandStatus BandImageProcessorProcess(BandImageProcessor* image_processor,
+                                     BandBuffer* buffer,
+                                     BandTensor* target_tensor);
+void BandImageProcessorDelete(BandImageProcessor* processor);
+
 #ifdef __cplusplus
 }  /* extern "C" */
 #endif

@@ -25,17 +25,21 @@ def c_artifacts(tmp_path_factory):
     from band_tpu.c.build import build
 
     lib = build(out_dir, quiet=True)
-    exe = os.path.join(out_dir, "band_c_example")
-    subprocess.run(
-        [
-            "g++", "-O1", os.path.join(CDIR, "example", "main.c"),
-            f"-I{CDIR}", f"-L{out_dir}", "-lband_tpu_c",
-            f"-Wl,-rpath,{out_dir}", "-o", exe,
-        ],
-        check=True,
-        capture_output=True,
-    )
-    return lib, exe
+    exes = []
+    for src, name in [("main.c", "band_c_example"),
+                      ("buffer_main.c", "band_c_buffer_example")]:
+        exe = os.path.join(out_dir, name)
+        subprocess.run(
+            [
+                "g++", "-O1", os.path.join(CDIR, "example", src),
+                f"-I{CDIR}", f"-L{out_dir}", "-lband_tpu_c",
+                f"-Wl,-rpath,{out_dir}", "-o", exe,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        exes.append(exe)
+    return (lib, *exes)
 
 
 def _run_example(exe, *args):
@@ -60,7 +64,7 @@ def _run_example(exe, *args):
 def test_c_api_round_trip(c_artifacts):
     if not has_model("add"):
         pytest.skip("reference model not available")
-    _, exe = c_artifacts
+    _, exe, _ = c_artifacts
     proc = _run_example(exe, model_path("add"))
     assert proc.returncode == 0, proc.stderr + proc.stdout
     out = proc.stdout
@@ -75,7 +79,28 @@ def test_c_api_round_trip(c_artifacts):
 
 
 def test_c_api_error_surface(c_artifacts):
-    _, exe = c_artifacts
+    _, exe, _ = c_artifacts
     proc = _run_example(exe, "/nonexistent/model.tflite")
     assert proc.returncode == 1
     assert "register failed" in proc.stderr
+
+
+def test_c_api_buffer_image_processor(c_artifacts):
+    """Buffer + ImageProcessor C surface (reference: c_api_buffer.h):
+    raw RGB / NV21 / strided I420 buffers, auto + explicit pipelines,
+    varargs operator protocol, and feeding the result into inference."""
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    _, _, exe = c_artifacts
+    proc = _run_example(exe, model_path("add"))
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    out = proc.stdout
+    assert "auto left=100.0 right=200.0 ok=1" in out
+    assert "crop_norm=50.0 ok=1" in out
+    assert "flip=70.0 ok=1" in out
+    assert "rotate=70.0 ok=1" in out
+    assert "nv21=130.0 ok=1" in out
+    assert "yuv=130.0 ok=1" in out
+    assert "sync=390.0 ok=1" in out
+    assert "bad_arity=1" in out
+    assert "BUFFER API OK" in out
