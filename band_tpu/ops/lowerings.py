@@ -502,6 +502,42 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     x, _ = _to_int8_domain(x, 0)
     x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
                     constant_values=np.int8(xzp))
+    # Narrow-channel stride-1 depthwise runs on the Pallas VPU kernel:
+    # XLA's grouped-conv lowering wastes 1 - C/128 of the lanes and is
+    # 1.3-5x slower for C <= 64 (docs/performance.md); the kernel keeps
+    # all lanes busy in the flattened [H, W*C] layout and fuses the
+    # bit-exact requant.
+    out_td = g.tensor(op.outputs[0])
+    if (
+        ctx.conv_mode == "int8"
+        and ctx.exact
+        and mult == 1
+        and strides == (1, 1)
+        and dil == (1, 1)
+        and ci <= 64
+    ):
+        from .pallas.qdwconv import pick_tile_h, qdwconv2d_exact
+
+        oh = x_pad.shape[1] - kh + 1
+        ow = x_pad.shape[2] - kw + 1
+        if pick_tile_h(oh, kh, kw, x_pad.shape[2] * ci, ow * ci) is not None:
+            qm = jnp.broadcast_to(
+                jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1),
+                (ci,))
+            shift = jnp.broadcast_to(
+                jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
+                (ci,))
+            out = qdwconv2d_exact(
+                x_pad, w.reshape(kh * kw, ci).astype(jnp.int32),
+                ctx.param(op, "bias"), qm, shift, kh=kh, kw=kw,
+                out_zp=int(ctx.smeta(op, "out_zp")),
+                qmin=int(ctx.smeta(op, "qmin")),
+                qmax=int(ctx.smeta(op, "qmax")),
+                rounding=ctx.smeta(op, "rounding"), w_zp=int(wzp),
+                out_dtype=out_td.dtype,
+            )
+            ctx.set(op.outputs[0], out)
+            return
     acc = _int_conv(ctx, x_pad, w, strides, dil, dn, feature_group_count=ci)
     if wzp != 0:
         # per-input-channel window sums via depthwise ones kernel
