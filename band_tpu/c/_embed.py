@@ -70,6 +70,24 @@ def engine_create(cfg) -> Engine:
     return Engine.create(cfg)
 
 
+def engine_create_default() -> Engine:
+    """Default config (reference: BandEngineCreateWithDefaultConfig):
+    one worker per available accelerator device plus a host worker,
+    fixed-worker scheduling."""
+    import jax
+
+    workers = []
+    if jax.default_backend() != "cpu":
+        workers = [
+            {"device": "tpu", "device_ids": [i]}
+            for i in range(len(jax.devices()))
+        ]
+    workers.append({"device": "cpu", "device_ids": [0]})
+    return Engine.create(config_from_dict(
+        {"schedulers": ["fixed_worker"], "workers": workers}
+    ))
+
+
 def engine_shutdown(engine: Engine) -> None:
     engine.shutdown()
 
@@ -89,7 +107,8 @@ def worker_device(engine: Engine, worker_id: int) -> int:
 
 
 def tensor_specs(engine: Engine, model_id: int, which: str):
-    """[(dims, dtype_str, name, nbytes)] for a model's inputs/outputs."""
+    """[(dims, dtype_str, name, nbytes, quant)] for a model's
+    inputs/outputs; quant is None or (scales, zero_points, dim)."""
     g = engine.model_record(model_id).model.graph
     ids = g.inputs if which == "in" else g.outputs
     out = []
@@ -97,8 +116,16 @@ def tensor_specs(engine: Engine, model_id: int, which: str):
         td = g.tensor(t)
         dt = np.dtype(td.dtype)
         dims = [int(s) for s in td.shape]
+        quant = None
+        if td.quant is not None:
+            quant = (
+                [float(s) for s in np.ravel(td.quant.scale)],
+                [int(z) for z in np.ravel(td.quant.zero_point)],
+                int(td.quant.quantized_dimension),
+            )
         out.append((dims, dt.str if dt.kind == "V" else dt.name,
-                    td.name or "", int(np.prod(dims or [1])) * dt.itemsize))
+                    td.name or "", int(np.prod(dims or [1])) * dt.itemsize,
+                    quant))
     return out
 
 
@@ -155,13 +182,17 @@ def wait(engine: Engine, job_id: int, timeout: float = 120.0):
 
 
 def set_on_end_request(engine: Engine, c_callable) -> int:
-    """Register a C trampoline; it receives (job_id, c_status)."""
+    """Register a C trampoline; it receives (job_id, c_status).
+    Returns the callback handle for unset_on_end_request."""
 
     def cb(job_id: int, status: JobStatus) -> None:
         c_callable(int(job_id), _STATUS_TO_C.get(status, _ERROR))
 
-    engine.register_callback(cb)
-    return 0
+    return engine.register_callback(cb)
+
+
+def unset_on_end_request(engine: Engine, handle: int) -> bool:
+    return engine.unregister_callback(handle)
 
 
 def set_log_severity(level: int) -> None:

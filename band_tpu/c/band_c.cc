@@ -112,6 +112,10 @@ struct BandTensor {
   std::string dtype;  // numpy dtype name
   std::string name;
   std::vector<unsigned char> data;
+  // affine quantization (empty scales = unquantized)
+  std::vector<float> q_scales;
+  std::vector<int> q_zero_points;
+  BandAffineQuantization q_view = {0, nullptr, nullptr, 0};
 };
 
 struct BandBuffer {
@@ -219,6 +223,7 @@ BandTensor* create_io_tensor(BandEngine* engine, BandModel* model,
     const char* dtype = PyUnicode_AsUTF8(PyTuple_GetItem(spec, 1));
     const char* name = PyUnicode_AsUTF8(PyTuple_GetItem(spec, 2));
     long nbytes = PyLong_AsLong(PyTuple_GetItem(spec, 3));
+    PyObject* quant = PyTuple_GetItem(spec, 4);
     out = new BandTensor();
     for (Py_ssize_t d = 0; d < PyList_Size(dims); ++d) {
       out->dims.push_back((int)PyLong_AsLong(PyList_GetItem(dims, d)));
@@ -226,6 +231,19 @@ BandTensor* create_io_tensor(BandEngine* engine, BandModel* model,
     out->dtype = dtype != nullptr ? dtype : "";
     out->name = name != nullptr ? name : "";
     out->data.assign((size_t)nbytes, 0);
+    if (quant != nullptr && quant != Py_None) {
+      PyObject* scales = PyTuple_GetItem(quant, 0);
+      PyObject* zps = PyTuple_GetItem(quant, 1);
+      for (Py_ssize_t i = 0; i < PyList_Size(scales); ++i) {
+        out->q_scales.push_back(
+            (float)PyFloat_AsDouble(PyList_GetItem(scales, i)));
+        out->q_zero_points.push_back(
+            (int)PyLong_AsLong(PyList_GetItem(zps, i)));
+      }
+      out->q_view = {(int)out->q_scales.size(), out->q_scales.data(),
+                     out->q_zero_points.data(),
+                     (int)PyLong_AsLong(PyTuple_GetItem(quant, 2))};
+    }
   } else {
     set_error("tensor index out of range");
   }
@@ -470,6 +488,17 @@ const char* BandTensorGetName(BandTensor* tensor) {
   return tensor == nullptr ? "" : tensor->name.c_str();
 }
 
+BandQuantizationType BandTensorGetQuantizationType(BandTensor* tensor) {
+  return (tensor == nullptr || tensor->q_scales.empty())
+             ? kBandNoQuantization
+             : kBandAffineQuantization;
+}
+
+void* BandTensorGetQuantizationParams(BandTensor* tensor) {
+  if (tensor == nullptr || tensor->q_scales.empty()) return nullptr;
+  return &tensor->q_view;
+}
+
 /* -- request options ------------------------------------------------------- */
 
 BandRequestOption BandRequestOptionGetDefault(void) {
@@ -488,6 +517,13 @@ BandEngine* BandEngineCreate(BandConfig* config) {
   Gil gil;
   PyObject* e =
       call_embed("engine_create", Py_BuildValue("(O)", config->cfg));
+  if (e == nullptr) return nullptr;
+  return new BandEngine{e};
+}
+
+BandEngine* BandEngineCreateWithDefaultConfig(void) {
+  Gil gil;
+  PyObject* e = call_embed("engine_create_default", nullptr);
   if (e == nullptr) return nullptr;
   return new BandEngine{e};
 }
@@ -679,6 +715,20 @@ int BandEngineSetOnEndRequest(BandEngine* engine,
   int h = (int)PyLong_AsLong(r);
   Py_DECREF(r);
   return h;
+}
+
+BandStatus BandEngineUnsetOnEndRequest(BandEngine* engine,
+                                       int callback_handle) {
+  if (engine == nullptr || callback_handle < 0) return kBandError;
+  Gil gil;
+  PyObject* r = call_embed(
+      "unset_on_end_request",
+      Py_BuildValue("(Oi)", engine->engine, callback_handle));
+  if (r == nullptr) return kBandError;
+  bool removed = PyObject_IsTrue(r) == 1;
+  Py_DECREF(r);
+  if (!removed) set_error("unknown callback handle");
+  return removed ? kBandOk : kBandError;
 }
 
 /* -- buffer + image processor --------------------------------------------- */

@@ -114,6 +114,22 @@ BandStatus BandModelAddFromBuffer(BandModel* model, const void* model_data,
                                   size_t model_size);
 
 /* -- tensor (immutable shape; reference: band/c/c_api.h tensor getters) - */
+typedef enum BandQuantizationType {
+  kBandNoQuantization = 0,
+  kBandAffineQuantization = 1,
+} BandQuantizationType;
+
+/* Affine quantization: real = scale * (q - zero_point); num_params is 1
+ * for per-tensor quantization or C (along quantized_dimension) for
+ * per-channel weights. Owned by the tensor; valid until
+ * BandTensorDelete. */
+typedef struct BandAffineQuantization {
+  int num_params;
+  const float* scales;
+  const int* zero_points;
+  int quantized_dimension;
+} BandAffineQuantization;
+
 void BandTensorDelete(BandTensor* tensor);
 BandDataType BandTensorGetType(BandTensor* tensor);
 void* BandTensorGetData(BandTensor* tensor);
@@ -121,12 +137,19 @@ size_t BandTensorGetNumDims(BandTensor* tensor);
 const int* BandTensorGetDims(BandTensor* tensor);
 size_t BandTensorGetBytes(BandTensor* tensor);
 const char* BandTensorGetName(BandTensor* tensor);
+BandQuantizationType BandTensorGetQuantizationType(BandTensor* tensor);
+/* Returns a BandAffineQuantization* (as void*, matching the reference
+ * signature: band/c/c_api.h:91) or NULL for unquantized tensors. */
+void* BandTensorGetQuantizationParams(BandTensor* tensor);
 
 /* -- request options ---------------------------------------------------- */
 BandRequestOption BandRequestOptionGetDefault(void);
 
 /* -- engine -------------------------------------------------------------- */
 BandEngine* BandEngineCreate(BandConfig* config);
+/* One worker per available accelerator device plus a host worker,
+ * fixed-worker scheduling (reference: BandEngineCreateWithDefaultConfig). */
+BandEngine* BandEngineCreateWithDefaultConfig(void);
 void BandEngineDelete(BandEngine* engine);
 BandStatus BandEngineRegisterModel(BandEngine* engine, BandModel* model);
 int BandEngineGetNumInputTensors(BandEngine* engine, BandModel* model);
@@ -164,6 +187,9 @@ int BandEngineSetOnEndRequest(BandEngine* engine,
                                                     int job_id,
                                                     BandStatus status),
                               void* user_data);
+/* Unregister a callback previously returned by SetOnEndRequest. */
+BandStatus BandEngineUnsetOnEndRequest(BandEngine* engine,
+                                       int callback_handle);
 
 /* -- buffer + image processor (reference: band/c/c_api_buffer.h) -------- */
 

@@ -92,6 +92,16 @@ int main(int argc, char** argv) {
   printf("in0 dims=%zu bytes=%zu type=%d\n", BandTensorGetNumDims(in0),
          BandTensorGetBytes(in0), (int)BandTensorGetType(in0));
 
+  /* quantization introspection (affine for int8/uint8 models) */
+  BandQuantizationType qt = BandTensorGetQuantizationType(in0);
+  printf("quant_type=%d\n", (int)qt);
+  if (qt == kBandAffineQuantization) {
+    BandAffineQuantization* q =
+        (BandAffineQuantization*)BandTensorGetQuantizationParams(in0);
+    printf("quant num=%d scale0=%.6f zp0=%d dim=%d\n", q->num_params,
+           q->scales[0], q->zero_points[0], q->quantized_dimension);
+  }
+
   /* fill input with 2.0f (add.tflite is float32) */
   if (BandTensorGetType(in0) == kBandFloat32) {
     float* p = (float*)BandTensorGetData(in0);
@@ -99,7 +109,7 @@ int main(int argc, char** argv) {
     for (size_t i = 0; i < n; ++i) p[i] = 2.0f;
   }
 
-  BandEngineSetOnEndRequest(engine, on_end, NULL);
+  int cb_handle = BandEngineSetOnEndRequest(engine, on_end, NULL);
 
   BandTensor* ins[1] = {in0};
   BandTensor* outs[1] = {out0};
@@ -130,6 +140,23 @@ int main(int argc, char** argv) {
     printf("async out[0]=%f\n", q[0]);
   }
   printf("callbacks=%d\n", g_callback_count);
+
+  /* unregistering stops further callbacks */
+  if (BandEngineUnsetOnEndRequest(engine, cb_handle) != kBandOk) {
+    fprintf(stderr, "unset callback failed: %s\n", BandGetLastError());
+    return 1;
+  }
+  if (BandEngineRequestSync(engine, model, ins, outs) != kBandOk) {
+    fprintf(stderr, "request after unset failed: %s\n", BandGetLastError());
+    return 1;
+  }
+  printf("callbacks_after_unset=%d\n", g_callback_count);
+
+  /* default-config engine: one worker per device + host worker */
+  BandEngine* dflt = BandEngineCreateWithDefaultConfig();
+  printf("default_engine=%d default_workers=%d\n", dflt != NULL,
+         dflt != NULL ? BandEngineGetNumWorkers(dflt) : -1);
+  BandEngineDelete(dflt);
 
   BandTensorDelete(in0);
   BandTensorDelete(out0);

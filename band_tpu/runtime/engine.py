@@ -410,8 +410,11 @@ class Engine(EngineBase):
             rec.output_ring.put(job.output_handle, out)
         return [out[tid] for tid in rec.model.graph.outputs]
 
-    def register_callback(self, cb) -> None:
-        self.planner.add_callback(cb)
+    def register_callback(self, cb) -> int:
+        return self.planner.add_callback(cb)
+
+    def unregister_callback(self, handle: int) -> bool:
+        return self.planner.remove_callback(handle)
 
     # ------------------------------------------------------------------
     # EngineBase SPI

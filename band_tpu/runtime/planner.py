@@ -79,7 +79,8 @@ class Planner:
 
         self._finished_lock = threading.Condition()
         self._finished: "collections.OrderedDict[int, Job]" = collections.OrderedDict()
-        self._callbacks: List[RequestCallback] = []
+        self._callbacks: Dict[int, RequestCallback] = {}
+        self._callback_counter = itertools.count()
         self._execution_counts: Dict[int, int] = {}
 
         self._thread = threading.Thread(
@@ -94,8 +95,16 @@ class Planner:
         self._safe_event.terminate()
         self._thread.join(timeout=10)
 
-    def add_callback(self, cb: RequestCallback) -> None:
-        self._callbacks.append(cb)
+    def add_callback(self, cb: RequestCallback) -> int:
+        """Register an end-of-request callback; returns a handle for
+        remove_callback (reference: c_api.h BandEngineSetOnEndRequest /
+        BandEngineUnsetOnEndRequest)."""
+        handle = next(self._callback_counter)
+        self._callbacks[handle] = cb
+        return handle
+
+    def remove_callback(self, handle: int) -> bool:
+        return self._callbacks.pop(handle, None) is not None
 
     # ------------------------------------------------------------------
     def enqueue_batch(
@@ -162,7 +171,7 @@ class Planner:
             if on_fin:
                 on_fin(job.job_id)
         if job.require_callback:
-            for cb in self._callbacks:
+            for cb in list(self._callbacks.values()):
                 cb(job.job_id, job.status)
 
     def get_model_execution_counts(self) -> Dict[int, int]:

@@ -75,7 +75,35 @@ def test_c_api_round_trip(c_artifacts):
     assert "sync out[0]=6.0" in out
     assert "async out[0]=6.0" in out
     assert "callbacks=2" in out
+    assert "quant_type=0" in out  # add.tflite is float32
+    assert "callbacks_after_unset=2" in out  # unset stops callbacks
+    assert "default_engine=1 default_workers=1" in out  # cpu platform
     assert "C API OK" in out
+
+
+def test_c_api_quantization_getters(c_artifacts):
+    """int8 model: affine quantization surfaced through the C ABI with
+    the model's real scale/zero-point (reference:
+    BandTensorGetQuantizationType/Params)."""
+    path = os.path.join(HERE, "data", "fc_int8.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    _, exe, _ = c_artifacts
+    proc = _run_example(exe, path)
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    assert "quant_type=1" in proc.stdout
+    # scale/zp of the model's input tensor
+    from band_tpu.tflite.parser import parse_tflite_file
+
+    g = parse_tflite_file(path)
+    td = g.tensor(g.inputs[0])
+    line = next(l for l in proc.stdout.splitlines()
+                if l.startswith("quant num="))
+    assert line == (
+        f"quant num=1 scale0={float(td.quant.scale[0]):.6f} "
+        f"zp0={int(td.quant.zero_point[0])} "
+        f"dim={int(td.quant.quantized_dimension)}"
+    )
 
 
 def test_c_api_error_surface(c_artifacts):
