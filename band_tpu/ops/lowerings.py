@@ -1581,3 +1581,287 @@ def _broadcast_to(ctx: LowerCtx, op: OpNode) -> None:
     x = ctx.arr(op.inputs[0])
     shape = [int(v) for v in ctx.static(op.inputs[1])]
     ctx.set(op.outputs[0], jnp.broadcast_to(x, shape))
+
+
+# --------------------------------------------------------------------------
+# Comparison / logical / select — the support-op tail the reference gets
+# for free from the TFLite CPU kernels (comparisons.cc, select.cc,
+# logical.cc); here they lower to the matching jnp primitives.
+# --------------------------------------------------------------------------
+
+def _compare_operands(ctx: LowerCtx, op: OpNode):
+    """Quantized comparisons happen in real space; raw otherwise."""
+    if ctx.is_quantized(op.inputs[0]) or ctx.is_quantized(op.inputs[1]):
+        return as_float(ctx, op.inputs[0]), as_float(ctx, op.inputs[1])
+    return ctx.arr(op.inputs[0]), ctx.arr(op.inputs[1])
+
+
+def _comparison(fn):
+    def lower(ctx: LowerCtx, op: OpNode) -> None:
+        a, b = _compare_operands(ctx, op)
+        ctx.set(op.outputs[0], fn(a, b))
+
+    return lower
+
+
+for _name, _fn in {
+    "EQUAL": jnp.equal,
+    "NOT_EQUAL": jnp.not_equal,
+    "GREATER": jnp.greater,
+    "GREATER_EQUAL": jnp.greater_equal,
+    "LESS": jnp.less,
+    "LESS_EQUAL": jnp.less_equal,
+    "LOGICAL_AND": jnp.logical_and,
+    "LOGICAL_OR": jnp.logical_or,
+}.items():
+    register(_name)(_comparison(_fn))
+
+
+@register("LOGICAL_NOT")
+def _logical_not(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.logical_not(ctx.arr(op.inputs[0])))
+
+
+def _select(ctx: LowerCtx, op: OpNode) -> None:
+    cond = ctx.arr(op.inputs[0])
+    t1, t2 = op.inputs[1], op.inputs[2]
+    out_td = ctx.graph.tensor(op.outputs[0])
+    if ctx.is_quantized(t1) or ctx.is_quantized(t2):
+        store_real(ctx, op.outputs[0],
+                   jnp.where(cond, as_float(ctx, t1), as_float(ctx, t2)))
+        return
+    # SELECT (v1) allows a rank-1 condition selecting whole rows
+    a, b = ctx.arr(t1), ctx.arr(t2)
+    if cond.ndim == 1 and a.ndim > 1:
+        cond = cond.reshape((-1,) + (1,) * (a.ndim - 1))
+    ctx.set(op.outputs[0], jnp.where(cond, a, b).astype(out_td.dtype))
+
+
+register("SELECT")(_select)
+register("SELECT_V2")(_select)
+
+
+# --------------------------------------------------------------------------
+# Remaining reductions (reference: TFLite reduce.cc)
+# --------------------------------------------------------------------------
+
+@register("REDUCE_MIN", static_inputs=(1,))
+def _reduce_min(ctx: LowerCtx, op: OpNode) -> None:
+    # min commutes with the (monotonic) affine quantization: raw compute
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    keep_dims = op.options.get("keep_dims", False)
+    out = jnp.min(ctx.arr(op.inputs[0]), axis=axes, keepdims=keep_dims)
+    ctx.set(op.outputs[0], out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("REDUCE_PROD", static_inputs=(1,))
+def _reduce_prod(ctx: LowerCtx, op: OpNode) -> None:
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    keep_dims = op.options.get("keep_dims", False)
+    if ctx.is_quantized(op.inputs[0]):
+        x = as_float(ctx, op.inputs[0])
+        store_real(ctx, op.outputs[0],
+                   jnp.prod(x, axis=axes, keepdims=keep_dims))
+        return
+    out = jnp.prod(ctx.arr(op.inputs[0]), axis=axes, keepdims=keep_dims)
+    ctx.set(op.outputs[0], out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("REDUCE_ANY", static_inputs=(1,))
+def _reduce_any(ctx: LowerCtx, op: OpNode) -> None:
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    keep_dims = op.options.get("keep_dims", False)
+    ctx.set(op.outputs[0],
+            jnp.any(ctx.arr(op.inputs[0]), axis=axes, keepdims=keep_dims))
+
+
+@register("REDUCE_ALL", static_inputs=(1,))
+def _reduce_all(ctx: LowerCtx, op: OpNode) -> None:
+    axes = tuple(int(v) for v in np.ravel(ctx.static(op.inputs[1])))
+    keep_dims = op.options.get("keep_dims", False)
+    ctx.set(op.outputs[0],
+            jnp.all(ctx.arr(op.inputs[0]), axis=axes, keepdims=keep_dims))
+
+
+@register("ARG_MIN", static_inputs=(1,))
+def _arg_min(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    axis = int(ctx.static(op.inputs[1]).reshape(()))
+    dt = ctx.graph.tensor(op.outputs[0]).dtype
+    ctx.set(op.outputs[0], jnp.argmin(x, axis=axis).astype(dt))
+
+
+@register("ADD_N")
+def _add_n(ctx: LowerCtx, op: OpNode) -> None:
+    acc = ctx.arr(op.inputs[0])
+    for tid in op.inputs[1:]:
+        acc = acc + ctx.arr(tid)
+    ctx.set(op.outputs[0], acc)
+
+
+# --------------------------------------------------------------------------
+# Integer/float division tail (reference: TFLite floor_div.cc/floor_mod.cc)
+# --------------------------------------------------------------------------
+
+@register("FLOOR_DIV")
+def _floor_div(ctx: LowerCtx, op: OpNode) -> None:
+    a, b = _compare_operands(ctx, op)
+    out = jnp.floor_divide(a, b)
+    ctx.set(op.outputs[0],
+            out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("FLOOR_MOD")
+def _floor_mod(ctx: LowerCtx, op: OpNode) -> None:
+    # numpy mod == floor-mod (result takes the divisor's sign)
+    a, b = _compare_operands(ctx, op)
+    out = jnp.mod(a, b)
+    ctx.set(op.outputs[0],
+            out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+# --------------------------------------------------------------------------
+# Data movement tail (reference: TFLite reverse.cc, gather_nd.cc,
+# space_to_batch_nd.cc, batch_to_space_nd.cc, one_hot.cc, cumsum.cc)
+# --------------------------------------------------------------------------
+
+@register("REVERSE_V2", static_inputs=(1,))
+def _reverse_v2(ctx: LowerCtx, op: OpNode) -> None:
+    axes = [int(v) for v in np.ravel(ctx.static(op.inputs[1]))]
+    ctx.set(op.outputs[0], jnp.flip(ctx.arr(op.inputs[0]), axis=axes))
+
+
+@register("GATHER_ND")
+def _gather_nd(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    td = ctx.graph.tensor(op.inputs[1])
+    idx = jnp.asarray(td.data) if td.is_constant else ctx.arr(op.inputs[1])
+    ctx.set(op.outputs[0], x[tuple(jnp.moveaxis(idx, -1, 0))])
+
+
+@register("SPACE_TO_BATCH_ND", static_inputs=(1, 2))
+def _space_to_batch_nd(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    block = [int(v) for v in np.ravel(ctx.static(op.inputs[1]))]
+    pads = np.asarray(ctx.static(op.inputs[2])).reshape(-1, 2)
+    qp = ctx.qp(op.inputs[0])
+    pad_val = int(qp.zero_point[0]) if qp is not None else 0
+    m = len(block)
+    pad_cfg = [(0, 0)] + [tuple(int(p) for p in pads[i]) for i in range(m)]
+    pad_cfg += [(0, 0)] * (x.ndim - 1 - m)
+    x = jnp.pad(x, pad_cfg, constant_values=np.asarray(pad_val, x.dtype))
+    n = x.shape[0]
+    rest = list(x.shape[1 + m:])
+    # split each spatial dim by its block, hoist blocks into batch
+    split = [n]
+    for i in range(m):
+        split += [x.shape[1 + i] // block[i], block[i]]
+    x = x.reshape(split + rest)
+    perm = [2 * i + 2 for i in range(m)] + [0]
+    perm += [2 * i + 1 for i in range(m)]
+    perm += list(range(1 + 2 * m, x.ndim))
+    x = jnp.transpose(x, perm)
+    out_shape = [n * int(np.prod(block))] + [
+        split[1 + 2 * i] for i in range(m)
+    ] + rest
+    ctx.set(op.outputs[0], x.reshape(out_shape))
+
+
+@register("BATCH_TO_SPACE_ND", static_inputs=(1, 2))
+def _batch_to_space_nd(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    block = [int(v) for v in np.ravel(ctx.static(op.inputs[1]))]
+    crops = np.asarray(ctx.static(op.inputs[2])).reshape(-1, 2)
+    m = len(block)
+    n = x.shape[0] // int(np.prod(block))
+    rest = list(x.shape[1 + m:])
+    spatial = [x.shape[1 + i] for i in range(m)]
+    x = x.reshape(block + [n] + spatial + rest)
+    perm = [m]
+    for i in range(m):
+        perm += [m + 1 + i, i]
+    perm += list(range(1 + 2 * m, x.ndim))
+    x = jnp.transpose(x, perm)
+    x = x.reshape([n] + [spatial[i] * block[i] for i in range(m)] + rest)
+    slices = [slice(None)]
+    for i in range(m):
+        c0, c1 = int(crops[i][0]), int(crops[i][1])
+        slices.append(slice(c0, x.shape[1 + i] - c1))
+    ctx.set(op.outputs[0], x[tuple(slices)])
+
+
+@register("ONE_HOT", static_inputs=(1,))
+def _one_hot(ctx: LowerCtx, op: OpNode) -> None:
+    idx = ctx.arr(op.inputs[0])
+    depth = int(ctx.static(op.inputs[1]).reshape(()))
+    on_td = ctx.graph.tensor(op.inputs[2])
+    off_td = ctx.graph.tensor(op.inputs[3])
+    on = jnp.asarray(on_td.data.reshape(())) if on_td.is_constant \
+        else ctx.arr(op.inputs[2]).reshape(())
+    off = jnp.asarray(off_td.data.reshape(())) if off_td.is_constant \
+        else ctx.arr(op.inputs[3]).reshape(())
+    axis = op.options.get("axis", -1)
+    if axis < 0:
+        axis += idx.ndim + 1
+    shape = [1] * (idx.ndim + 1)
+    shape[axis] = depth
+    iota = jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+    hot = jnp.expand_dims(idx.astype(jnp.int32), axis) == iota
+    out = jnp.where(hot, on, off)
+    ctx.set(op.outputs[0],
+            out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("CUMSUM", static_inputs=(1,))
+def _cumsum(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    axis = int(ctx.static(op.inputs[1]).reshape(()))
+    exclusive = op.options.get("exclusive", False)
+    reverse = op.options.get("reverse", False)
+    if reverse:
+        x = jnp.flip(x, axis)
+    out = jnp.cumsum(x, axis=axis, dtype=x.dtype)
+    if exclusive:
+        out = out - x
+    if reverse:
+        out = jnp.flip(out, axis)
+    ctx.set(op.outputs[0], out)
+
+
+@register("TOPK_V2", static_inputs=(1,))
+def _topk_v2(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    k = int(ctx.static(op.inputs[1]).reshape(()))
+    values, indices = lax.top_k(x, k)
+    ctx.set(op.outputs[0], values)
+    ctx.set(op.outputs[1],
+            indices.astype(ctx.graph.tensor(op.outputs[1]).dtype))
+
+
+@register("LOCAL_RESPONSE_NORMALIZATION")
+def _lrn(ctx: LowerCtx, op: OpNode) -> None:
+    """x / (bias + alpha * sum_{c-r..c+r} x^2)^beta over channels
+    (TF/TFLite semantics; rolling window via prefix sums)."""
+    x = as_float(ctx, op.inputs[0])
+    r = int(op.options.get("radius", 5))
+    bias = op.options.get("bias", 1.0)
+    alpha = op.options.get("alpha", 1.0)
+    beta = op.options.get("beta", 0.5)
+    c = x.shape[-1]
+    sq = jnp.pad(x * x, [(0, 0)] * (x.ndim - 1) + [(r, r)])
+    cs = jnp.cumsum(sq, axis=-1)
+    zero = jnp.zeros(cs.shape[:-1] + (1,), cs.dtype)
+    cs = jnp.concatenate([zero, cs], axis=-1)
+    wsum = cs[..., 2 * r + 1: 2 * r + 1 + c] - cs[..., :c]
+    store_real(ctx, op.outputs[0], x * (bias + alpha * wsum) ** (-beta))
+
+
+@register("RANK")
+def _rank(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    ctx.set(op.outputs[0], jnp.asarray(x.ndim, np.int32))
+
+
+@register("ZEROS_LIKE")
+def _zeros_like(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.zeros_like(ctx.arr(op.inputs[0])))

@@ -159,6 +159,27 @@ def _space_to_depth_options(t: Table) -> Dict[str, Any]:
     return {"block_size": t.i32(0, 0)}
 
 
+def _argmin_options(t: Table) -> Dict[str, Any]:
+    return {"output_type": t.i8(0, 2)}
+
+
+def _one_hot_options(t: Table) -> Dict[str, Any]:
+    return {"axis": t.i32(0, -1)}
+
+
+def _cumsum_options(t: Table) -> Dict[str, Any]:
+    return {"exclusive": t.bool_(0), "reverse": t.bool_(1)}
+
+
+def _lrn_options(t: Table) -> Dict[str, Any]:
+    return {
+        "radius": t.i32(0, 5),
+        "bias": t.f32(1, 1.0),
+        "alpha": t.f32(2, 1.0),
+        "beta": t.f32(3, 0.5),
+    }
+
+
 _OPTION_PARSERS: Dict[int, Callable[[Table], Dict[str, Any]]] = {
     S.OptionsType.Conv2DOptions: _conv2d_options,
     S.OptionsType.DepthwiseConv2DOptions: _dwconv2d_options,
@@ -188,6 +209,10 @@ _OPTION_PARSERS: Dict[int, Callable[[Table], Dict[str, Any]]] = {
     S.OptionsType.ShapeOptions: _shape_options,
     S.OptionsType.MirrorPadOptions: _mirror_pad_options,
     S.OptionsType.SpaceToDepthOptions: _space_to_depth_options,
+    S.OptionsType.ArgMinOptions: _argmin_options,
+    S.OptionsType.OneHotOptions: _one_hot_options,
+    S.OptionsType.CumsumOptions: _cumsum_options,
+    S.OptionsType.LocalResponseNormalizationOptions: _lrn_options,
 }
 
 

@@ -82,7 +82,9 @@ BUILTIN_OP_NAMES = {
     121: "NON_MAX_SUPPRESSION_V5", 122: "SCATTER_ND", 123: "SELECT_V2",
     124: "DENSIFY", 125: "SEGMENT_SUM", 126: "BATCH_MATMUL",
     127: "PLACEHOLDER_FOR_GREATER_OP_CODES", 128: "CUMSUM", 130: "BROADCAST_TO",
+    140: "REDUCE_ALL", 145: "BROADCAST_ARGS",
     150: "GELU", 151: "DYNAMIC_UPDATE_SLICE", 152: "RELU_0_TO_1",
+    156: "ATAN2", 158: "SIGN", 159: "BITCAST",
 }
 
 BUILTIN_OP_CODES = {v: k for k, v in BUILTIN_OP_NAMES.items()}
@@ -164,6 +166,7 @@ class OptionsType(enum.IntEnum):
     ConcatenationOptions = 10
     AddOptions = 11
     L2NormOptions = 12
+    LocalResponseNormalizationOptions = 13
     ResizeBilinearOptions = 15
     ReshapeOptions = 17
     SpaceToDepthOptions = 19
@@ -176,6 +179,7 @@ class OptionsType(enum.IntEnum):
     DivOptions = 29
     SqueezeOptions = 30
     StridedSliceOptions = 32
+    TopKV2Options = 34
     SplitOptions = 35
     CastOptions = 37
     DequantizeOptions = 38
@@ -184,7 +188,9 @@ class OptionsType(enum.IntEnum):
     SliceOptions = 48
     TransposeConvOptions = 49
     ShapeOptions = 55
+    ArgMinOptions = 57
     PackOptions = 59
+    OneHotOptions = 61
     UnpackOptions = 64
     ResizeNearestNeighborOptions = 74
     LeakyReluOptions = 75
@@ -193,3 +199,4 @@ class OptionsType(enum.IntEnum):
     QuantizeOptions = 89
     HardSwishOptions = 91
     BatchMatMulOptions = 101
+    CumsumOptions = 102
