@@ -1140,6 +1140,50 @@ def _float_unary(fn):
     return lower
 
 
+# Quantized LOGISTIC/TANH/ELU run through TFLite's 256-entry lookup
+# tables (activations.cc PopulateLookupTable/EvalUsingLookupTable) —
+# the table replication makes them bit-exact; float tensors keep the
+# jnp path.
+import math as _math  # noqa: E402  (scalar float transforms for LUTs)
+
+_LUT_TRANSFORMS = {
+    "LOGISTIC": lambda v: 1.0 / (1.0 + _math.exp(-v)),
+    "TANH": _math.tanh,
+    "ELU": lambda v: v if v >= 0.0 else _math.expm1(v),
+}
+
+
+def _prepare_unary_lut(name: str):
+    def prep(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+        in_td = graph.tensor(op.inputs[0])
+        out_td = graph.tensor(op.outputs[0])
+        if (
+            in_td.quant is None or in_td.dtype.itemsize != 1
+            or in_td.dtype.kind == "f"
+            or out_td.quant is None or out_td.dtype.itemsize != 1
+        ):
+            return {}
+        xs, xzp = _scalar_qp(in_td.quant)
+        os_, ozp = _scalar_qp(out_td.quant)
+        return {"lut": Q.activation_lut(_LUT_TRANSFORMS[name], xs, xzp,
+                                        os_, ozp, out_td.dtype)}
+
+    return prep
+
+
+def _float_unary_or_lut(fn):
+    base = _float_unary(fn)
+
+    def lower(ctx: LowerCtx, op: OpNode) -> None:
+        if f"op{op.index}/lut" in ctx.params:
+            ctx.set(op.outputs[0],
+                    Q.apply_lut(ctx.arr(op.inputs[0]), ctx.param(op, "lut")))
+        else:
+            base(ctx, op)
+
+    return lower
+
+
 for _name, _fn in {
     "LOGISTIC": jax.nn.sigmoid,
     "TANH": jnp.tanh,
@@ -1159,7 +1203,11 @@ for _name, _fn in {
     "GELU": jax.nn.gelu,
     "HARD_SWISH": jax.nn.hard_swish,
 }.items():
-    register(_name)(_float_unary(_fn))
+    if _name in _LUT_TRANSFORMS:
+        register(_name, prepare=_prepare_unary_lut(_name))(
+            _float_unary_or_lut(_fn))
+    else:
+        register(_name)(_float_unary(_fn))
 
 
 @register("LEAKY_RELU")
@@ -1184,9 +1232,31 @@ def _prelu(ctx: LowerCtx, op: OpNode) -> None:
     store_real(ctx, op.outputs[0], jnp.where(x >= 0, x, alpha * x))
 
 
-@register("SOFTMAX")
+def _prepare_softmax(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
+    in_td = graph.tensor(op.inputs[0])
+    out_td = graph.tensor(op.outputs[0])
+    if (
+        in_td.quant is None or in_td.dtype.kind == "f"
+        or out_td.quant is None or out_td.dtype.itemsize != 1
+    ):
+        return {}
+    xs, _ = _scalar_qp(in_td.quant)
+    return {"sm_table": Q.softmax_table(xs, op.options.get("beta", 1.0))}
+
+
+@register("SOFTMAX", prepare=_prepare_softmax)
 def _softmax(ctx: LowerCtx, op: OpNode) -> None:
     beta = op.options.get("beta", 1.0)
+    if f"op{op.index}/sm_table" in ctx.params:
+        # bit-exact TFLite quantized softmax (exp LUT + float32 rows)
+        out_td = ctx.graph.tensor(op.outputs[0])
+        os_, ozp = _scalar_qp(out_td.quant)
+        out = Q.lut_softmax(
+            ctx.arr(op.inputs[0]), ctx.param(op, "sm_table"), os_, ozp,
+            out_td.dtype,
+        )
+        ctx.set(op.outputs[0], out)
+        return
     x = as_float(ctx, op.inputs[0])
     store_real(ctx, op.outputs[0], jax.nn.softmax(beta * x, axis=-1))
 

@@ -250,3 +250,82 @@ def quantize(x: jnp.ndarray, scale, zero_point, dtype) -> jnp.ndarray:
         jnp.asarray(zero_point, jnp.int32)
     )
     return jnp.clip(q, qmin, qmax).astype(dtype)
+
+
+
+# --------------------------------------------------------------------------
+# TFLite integer SOFTMAX (bit-exact)
+#
+# TFLite >= 2.x computes quantized softmax with a 256-entry float exp
+# lookup table and float32 row arithmetic
+# (tflite optimized_ops::PopulateSoftmaxLookupTable + Softmax,
+# lite/kernels/internal/optimized/optimized_ops.h; selected by the
+# builtin SOFTMAX kernel the reference invokes via the interpreter,
+# band/backend/tfl/model_executor.cc ExecuteSubgraph).  Bit-exactness
+# requires replicating three details: the table entries (expf of a
+# float32 product), the row sum's left-to-right float32 association
+# (tree reductions round differently), and the final
+# truncate(prob + 0.5f) quantization.
+# --------------------------------------------------------------------------
+
+def softmax_table(input_scale: float, beta: float) -> np.ndarray:
+    """PopulateSoftmaxLookupTable: table[255 - v] = expf(scale * v)."""
+    scale = np.float32(-float(input_scale) * float(beta))
+    table = np.empty(256, np.float32)
+    for v in range(256):
+        table[255 - v] = np.float32(math.exp(float(scale * np.float32(v))))
+    return table
+
+
+def lut_softmax(
+    x: jnp.ndarray,
+    table: jnp.ndarray,
+    out_scale: float,
+    out_zp: int,
+    out_dtype,
+) -> jnp.ndarray:
+    """Bit-exact TFLite quantized softmax over the last axis (int8 or
+    uint8 activations, any depth)."""
+    from jax import lax
+
+    out_dtype = np.dtype(out_dtype)
+    qmin, qmax = quantized_range(out_dtype)
+    xi = x.astype(jnp.int32)
+    mx = jnp.max(xi, axis=-1, keepdims=True)
+    e = jnp.asarray(table, jnp.float32)[255 - mx + xi]
+    # left-to-right float32 accumulation (C loop order)
+    s, _ = lax.scan(
+        lambda carry, ec: (carry + ec, None),
+        jnp.zeros(e.shape[:-1], jnp.float32),
+        jnp.moveaxis(e, -1, 0),
+    )
+    inv = jnp.float32(1.0) / (s * jnp.float32(out_scale))
+    prob = e * inv[..., None]
+    q = (prob + jnp.float32(0.5)).astype(jnp.int32) + jnp.int32(out_zp)
+    return jnp.clip(q, qmin, qmax).astype(out_dtype)
+
+
+def activation_lut(fn, in_scale: float, in_zp: int, out_scale: float,
+                   out_zp: int, dtype) -> np.ndarray:
+    """TFLite PopulateLookupTable (lite/kernels/activations.cc): the
+    256-entry int8/uint8 table for a quantized elementwise activation,
+    indexed by the uint8 reinterpretation of the input byte.  TfLiteRound
+    is half-away-from-zero."""
+    dtype = np.dtype(dtype)
+    info = np.iinfo(dtype)
+    table = np.zeros(256, dtype)
+    inv = np.float32(1.0) / np.float32(out_scale)
+    for val in range(info.min, info.max + 1):
+        deq = np.float32(in_scale) * np.float32(val - in_zp)
+        tr = np.float32(fn(float(deq)))
+        x = np.float32(tr * inv)
+        rescaled = np.float32(np.sign(x) * np.floor(np.abs(x) + 0.5))
+        quantized = int(rescaled) + out_zp
+        table[val & 0xFF] = np.clip(quantized, info.min, info.max)
+    return table
+
+
+def apply_lut(x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """out[i] = table[uint8(x[i])] (TFLite EvalUsingLookupTable)."""
+    idx = x.astype(jnp.uint8).astype(jnp.int32)
+    return jnp.asarray(table)[idx]

@@ -53,3 +53,16 @@ def test_attention_block_within_2_lsb(rng):
         d = np.abs(got[tid].astype(np.int64) - r.astype(np.int64))
         assert d.max() <= 2
         assert (d == 0).mean() > 0.85
+
+
+def test_quantized_activations_bit_exact(rng):
+    """Full-int8 model exercising the LUT quantized activations
+    (LOGISTIC/TANH/ELU, activations.cc lookup tables) and the quantized
+    SOFTMAX (exp LUT + float32 rows) — every output byte must equal the
+    interpreter's (generator: tests/gen_quant_act_model.py)."""
+    ref, got, g = run_pair("quant_act_int8", rng)
+    hist = g.op_histogram()
+    for opname in ("LOGISTIC", "TANH", "ELU", "SOFTMAX"):
+        assert hist.get(opname, 0) >= 1
+    for tid, r in ref.items():
+        np.testing.assert_array_equal(got[tid], r)

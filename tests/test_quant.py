@@ -78,3 +78,57 @@ def test_round_ties_away():
     x = jnp.asarray([0.5, 1.5, -0.5, -1.5, 2.4, -2.4])
     got = np.asarray(Q.round_ties_away(x))
     assert got.tolist() == [1.0, 2.0, -1.0, -2.0, 2.0, -2.0]
+
+
+def test_lut_softmax_bit_exact_vs_interpreter():
+    """Quantized SOFTMAX must match the TFLite kernel byte-for-byte:
+    the interpreter runs the attention model with all tensors
+    preserved, and the softmax op's input/output pair is replayed
+    through Q.lut_softmax (exp LUT + left-to-right float32 rows,
+    truncate(prob + 0.5))."""
+    import os
+
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    from band_tpu.ops import quant as Q
+    from band_tpu.tflite.parser import parse_tflite_file
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "attention_int8.tflite")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("generated model missing")
+    g = parse_tflite_file(path)
+    sm = next(op for op in g.ops if op.opname == "SOFTMAX")
+    in_td = g.tensor(sm.inputs[0])
+    out_td = g.tensor(sm.outputs[0])
+
+    it = tf.lite.Interpreter(
+        model_path=path,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType
+            .BUILTIN_WITHOUT_DEFAULT_DELEGATES),
+        experimental_preserve_all_tensors=True,
+    )
+    it.allocate_tensors()
+    rng = np.random.default_rng(5)
+    for d in it.get_input_details():
+        dt = d["dtype"]
+        if np.issubdtype(dt, np.integer):
+            info = np.iinfo(dt)
+            x = rng.integers(info.min, info.max + 1, d["shape"]).astype(dt)
+        else:
+            x = rng.standard_normal(d["shape"]).astype(dt)
+        it.set_tensor(d["index"], x)
+    it.invoke()
+    sm_in = it.get_tensor(sm.inputs[0])
+    sm_out = it.get_tensor(sm.outputs[0])
+
+    table = Q.softmax_table(float(in_td.quant.scale[0]),
+                            sm.options.get("beta", 1.0))
+    ours = np.asarray(Q.lut_softmax(
+        jnp.asarray(sm_in), table, float(out_td.quant.scale[0]),
+        int(out_td.quant.zero_point[0]), out_td.dtype))
+    np.testing.assert_array_equal(ours, sm_out)
