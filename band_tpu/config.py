@@ -58,6 +58,11 @@ class PlannerConfig:
         default_factory=lambda: [SchedulerType.FIXED_WORKER]
     )
     log_path: str = ""
+    # planner-thread core pinning (reference: `planner_cpu_masks` JSON
+    # key, band/config.h:30, applied at planner thread start); a mask
+    # flag (ALL/LITTLE/BIG/PRIMARY) or an explicit core list "0,2-3".
+    # Empty = no pinning.
+    cpu_mask: str = ""
 
     def validate(self) -> None:
         if not self.schedulers or len(self.schedulers) > 2:
@@ -105,10 +110,27 @@ class WorkerSpec:
     # continuous batching: up to this many queued same-subgraph requests
     # are merged into one batched (vmapped) dispatch
     max_batch: int = 1
+    # dispatch-thread core pinning (reference: per-worker `cpu_masks`,
+    # band/config.h:42 — the reference pins even GPU/DSP/NPU workers'
+    # host threads this way); flag name or explicit core list; empty =
+    # no pinning
+    cpu_mask: str = ""
+    # host compute threads (reference: per-worker `num_threads`,
+    # band/config.h:41). Carried for schema parity; XLA:CPU's compute
+    # pool is process-global so this is informational (the operative
+    # per-worker control is cpu_mask on the dispatch thread).
+    num_threads: int = 1
 
     def validate(self) -> None:
         if not self.device_ids:
             raise ConfigError("worker needs at least one device id")
+        if self.num_threads < 1:
+            raise ConfigError("num_threads must be >= 1")
+        if self.cpu_mask:
+            from .device.cpu import parse_cpu_mask
+
+            if parse_cpu_mask(self.cpu_mask) is None:
+                raise ConfigError(f"unparsable cpu_mask {self.cpu_mask!r}")
         if len(self.device_ids) > 1:
             shape = self.mesh_shape or (len(self.device_ids),)
             n = 1
@@ -216,6 +238,10 @@ class RuntimeConfig:
     # persistent XLA executable cache ("resume" for compilation, the
     # TPU analogue of the reference's offline latency profile reuse)
     compilation_cache_dir: str = ""
+    # engine-wide core pinning applied to the creating thread
+    # (reference: global `cpu_masks` key + engine.cc:657-668); empty =
+    # leave the caller's affinity alone
+    cpu_mask: str = ""
 
     def validate(self) -> None:
         for sub in (self.profile, self.planner, self.worker, self.subgraph,
@@ -267,6 +293,14 @@ class RuntimeConfigBuilder:
 
     def planner_log_path(self, p: str) -> "RuntimeConfigBuilder":
         self._cfg.planner.log_path = p
+        return self
+
+    def planner_cpu_mask(self, mask: str) -> "RuntimeConfigBuilder":
+        self._cfg.planner.cpu_mask = mask
+        return self
+
+    def cpu_mask(self, mask: str) -> "RuntimeConfigBuilder":
+        self._cfg.cpu_mask = mask
         return self
 
     # --- workers ---
@@ -336,6 +370,8 @@ def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
         mesh_shape=tuple(entry.get("mesh_shape", [])),
         mesh_axes=tuple(entry.get("mesh_axes", [])),
         dispatch_depth=entry.get("dispatch_depth", 2),
+        cpu_mask=str(entry.get("cpu_masks", entry.get("cpu_mask", ""))),
+        num_threads=int(entry.get("num_threads", 1)),
     )
 
 
@@ -372,6 +408,11 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
         b.schedule_window_size(int(planner["schedule_window_size"]))
     if "log_path" in planner:
         b.planner_log_path(planner["log_path"])
+    for key in ("planner_cpu_masks", "planner_cpu_mask"):
+        if key in d:
+            b.planner_cpu_mask(str(d[key]))
+    if isinstance(d.get("cpu_masks"), str):
+        b.cpu_mask(d["cpu_masks"])
     if "availability_check_interval_ms" in d:
         b.availability_check_interval_ms(
             int(d["availability_check_interval_ms"])

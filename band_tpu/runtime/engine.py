@@ -109,6 +109,14 @@ class Engine(EngineBase):
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0
             )
+        if config.cpu_mask:
+            # engine-wide pinning of the creating thread (reference:
+            # global `cpu_masks` + engine.cc:657-668)
+            from ..device import cpu as cpu_dev
+
+            mask = cpu_dev.resolve_configured_mask(config.cpu_mask)
+            if mask is not None:
+                cpu_dev.set_thread_affinity(mask)
         self._models: Dict[int, _ModelRecord] = {}
         self._model_counter = 0
         self._fault_counts: Dict[int, int] = {}
@@ -294,12 +302,24 @@ class Engine(EngineBase):
         warmup+runs -> resume)."""
         if not self.config.profile.online:
             return
+        from ..device import cpu as cpu_dev
+
         for w in self.workers:
             w.pause()
+        saved_affinity = cpu_dev.get_thread_affinity()
         try:
             for key in rec.subgraph_keys:
                 if self.latency_estimator.get_profiled(key) > 0:
                     continue
+                # profile under the worker's configured affinity so the
+                # measurement matches serving conditions (reference:
+                # latency_estimator.cc:71-90 propagates the worker mask
+                # into the profile thread)
+                wmask = self.config.worker.workers[key.worker_id].cpu_mask
+                if wmask:
+                    resolved = cpu_dev.resolve_configured_mask(wmask)
+                    if resolved is not None:
+                        cpu_dev.set_thread_affinity(resolved)
                 executor = rec.executors[key.worker_id]
                 prog = executor.program(key)
                 inputs = [
@@ -322,6 +342,8 @@ class Engine(EngineBase):
                     )
                     bucket *= 2
         finally:
+            if saved_affinity.num_enabled():
+                cpu_dev.set_thread_affinity(saved_affinity)
             for w in self.workers:
                 w.resume()
 

@@ -197,6 +197,14 @@ class Planner:
 
     def _plan(self) -> None:
         """Main loop (reference: planner.cc:268-293)."""
+        # pin the planner thread when configured (reference:
+        # `planner_cpu_masks` + planner.cc:22-27 UpdateThread)
+        if self.config.cpu_mask:
+            from ..device import cpu as cpu_dev
+
+            mask = cpu_dev.resolve_configured_mask(self.config.cpu_mask)
+            if mask is not None:
+                cpu_dev.set_thread_affinity(mask)
         while True:
             if self._safe_event.wait():
                 return

@@ -136,6 +136,15 @@ class Worker:
     # completions retire in FIFO order so waiting-time estimates and
     # continuation ordering stay truthful.
     def _work(self) -> None:
+        # pin the dispatch thread to the configured core set (reference:
+        # Worker::UpdateWorkerThread, worker.cc:61-91 — the reference pins
+        # even accelerator workers' host threads this way)
+        if self.spec.cpu_mask:
+            from ..device import cpu as cpu_dev
+
+            mask = cpu_dev.resolve_configured_mask(self.spec.cpu_mask)
+            if mask is not None:
+                cpu_dev.set_thread_affinity(mask)
         depth = max(self._max_depth(), 1)
         inflight: collections.deque = collections.deque()
         while True:
