@@ -115,6 +115,18 @@ class ModelExecutor:
             oi for oi in op_indices if not self.graph.ops[oi].is_custom
         ]
         params, meta = prepare_params(self.graph, jittable, self.exact)
+        # custom ops read their constant inputs (e.g. SSD anchors) as
+        # plain params; prepare_params only covered the jittable ops
+        for oi in op_indices:
+            op = self.graph.ops[oi]
+            if not op.is_custom:
+                continue
+            for tid in op.inputs:
+                if tid < 0:
+                    continue
+                td = self.graph.tensor(tid)
+                if td.is_constant and f"t{tid}" not in params:
+                    params[f"t{tid}"] = np.ascontiguousarray(td.data)
         return SubgraphProgram(
             graph=self.graph,
             op_indices=op_indices,

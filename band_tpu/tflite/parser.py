@@ -230,6 +230,24 @@ def _parse_opcode(t: Table) -> str:
     return name
 
 
+def _decode_custom_options(raw: bytes) -> Dict[str, Any]:
+    """Custom-op options are a flexbuffer-encoded map (the reference
+    backend reads them through TFLite's flexbuffers, e.g. the
+    detection-postprocess op's NMS knobs).  Decoded with the
+    `flatbuffers` package's pure-python reader; degrades to {} so
+    models with exotic payloads still load (host ops then use kernel
+    defaults)."""
+    if not raw:
+        return {}
+    try:
+        from flatbuffers import flexbuffers
+
+        decoded = flexbuffers.Loads(bytes(raw))
+        return decoded if isinstance(decoded, dict) else {"_custom": decoded}
+    except Exception:
+        return {}
+
+
 def _parse_quant(t: Optional[Table]) -> Optional[QuantParams]:
     if t is None:
         return None
@@ -305,6 +323,10 @@ def parse_tflite(data: bytes, subgraph_index: int = 0) -> Graph:
             opt_table = ot.union(S.OperatorF.BUILTIN_OPTIONS)
             if opt_table is not None:
                 options = parser(opt_table)
+        if opname.startswith("CUSTOM:"):
+            options = _decode_custom_options(
+                ot.bytes_vector(S.OperatorF.CUSTOM_OPTIONS)
+            )
         ops.append(
             OpNode(
                 index=i,

@@ -44,6 +44,18 @@ def test_resnetish_residual_cnn_bit_exact(rng):
         np.testing.assert_array_equal(got[tid], r)
 
 
+def test_effnetlite_mbconv_bit_exact(rng):
+    """EfficientNet-Lite-style MBConv stack (expand/dw/project + ReLU6 +
+    residual + MEAN head) — the model family of BASELINE milestone #2."""
+    ref, got, g = run_pair("effnetlite_int8", rng)
+    hist = g.op_histogram()
+    assert hist.get("DEPTHWISE_CONV_2D", 0) >= 4
+    assert hist.get("MEAN", 0) >= 1
+    assert hist.get("SOFTMAX", 0) >= 1
+    for tid, r in ref.items():
+        np.testing.assert_array_equal(got[tid], r)
+
+
 def test_attention_block_within_2_lsb(rng):
     ref, got, g = run_pair("attention_int8", rng)
     hist = g.op_histogram()
