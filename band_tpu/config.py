@@ -370,6 +370,7 @@ def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
         mesh_shape=tuple(entry.get("mesh_shape", [])),
         mesh_axes=tuple(entry.get("mesh_axes", [])),
         dispatch_depth=entry.get("dispatch_depth", 2),
+        max_batch=int(entry.get("max_batch", 1)),
         cpu_mask=str(entry.get("cpu_masks", entry.get("cpu_mask", ""))),
         num_threads=int(entry.get("num_threads", 1)),
     )

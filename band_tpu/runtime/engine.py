@@ -473,6 +473,9 @@ class Engine(EngineBase):
             if w.is_enqueue_ready() and not w.has_job() and not w._processing
         ]
 
+    def get_worker_batch_limit(self, worker_id: int) -> int:
+        return max(self.config.worker.workers[worker_id].max_batch, 1)
+
     def is_worker_available(self, worker_id: int) -> bool:
         return self.workers[worker_id].is_available()
 

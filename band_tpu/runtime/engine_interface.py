@@ -53,6 +53,13 @@ class EngineBase(abc.ABC):
     def is_worker_available(self, worker_id: int) -> bool:
         ...
 
+    def get_worker_batch_limit(self, worker_id: int) -> int:
+        """Continuous-batching window of a worker (1 = no batching).
+        Global-queue schedulers use it to stack same-subgraph jobs onto
+        an idle worker as one batched dispatch (no reference analogue —
+        the TPU's MXU wants batched programs)."""
+        return 1
+
     # --- model / subgraph queries ----------------------------------------
     @abc.abstractmethod
     def get_model_worker(self, model_id: int) -> int:

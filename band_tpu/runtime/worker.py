@@ -209,6 +209,7 @@ class Worker:
                 j.subgraph_key = type(j.subgraph_key)()
                 j.status = JobStatus.QUEUED
                 self.engine.enqueue_batch([j], push_front=True)
+            self._on_dispatch_consumed(jobs)
             return None
         except Exception:
             for j in jobs:
@@ -216,7 +217,12 @@ class Worker:
                 j.end_time = now_us()
                 tracer().end_subgraph(j)
                 self.engine.enqueue_finished_job(j)
+            self._on_dispatch_consumed(jobs)
             return None
+
+    def _on_dispatch_consumed(self, jobs: List[Job]) -> None:
+        """Hook: an error path consumed dequeued jobs without an
+        in-flight record (so _finish will never run for them)."""
 
     def _finish_window(self, recs) -> None:
         """Retire several in-flight work units, blocking only on the
@@ -412,51 +418,78 @@ class DeviceQueueWorker(Worker):
 
 
 class GlobalQueueWorker(Worker):
-    """Single in-flight job; jobs wait in the planner's global queue
-    (reference: band/worker_global_queue.cc)."""
+    """Single in-flight *dispatch*; jobs wait in the planner's global
+    queue (reference: band/worker_global_queue.cc).
+
+    TPU-native extension beyond the reference's one-job slot: a
+    global-queue scheduler may stack up to ``spec.max_batch``
+    same-subgraph jobs onto an idle worker in one round; they execute
+    as ONE batched dispatch, so the single-slot semantics the
+    waiting-time estimate assumes (worker_global_queue.cc:25-53) still
+    hold — the batch is one device program."""
 
     def __init__(self, engine: EngineBase, worker_id: int, spec: WorkerSpec):
         super().__init__(engine, worker_id, spec)
-        self._current: Optional[Job] = None
+        self._batch: List[Job] = []
+        self._started = False
 
     def enqueue_job(self, job: Job) -> bool:
         if not job.subgraph_key.is_valid():
             return False
         with self._cv:
-            if self._current is not None:
+            if self._started:
                 return False
-            self._current = job
+            if self._batch and (
+                job.subgraph_key != self._batch[0].subgraph_key
+                or len(self._batch) >= max(self.spec.max_batch, 1)
+            ):
+                return False
+            self._batch.append(job)
             self._cv.notify_all()
         return True
 
     def is_enqueue_ready(self) -> bool:
-        return self._current is None and self.is_available()
+        return not self._batch and self.is_available()
 
     def has_job(self) -> bool:
-        return self._current is not None
+        return bool(self._batch) and not self._started
 
     def _dequeue(self) -> Optional[Job]:
-        return self._current
+        jobs = self._dequeue_many()
+        return jobs[0] if jobs else None
+
+    def _dequeue_many(self) -> List[Job]:
+        self._started = True
+        return list(self._batch)
 
     def _requeue_all(self) -> List[Job]:
         return []
 
     def _max_depth(self) -> int:
-        return 1  # single in-flight job by definition
+        return 1  # single in-flight dispatch by definition
 
     def _finish(self, rec, ready_hint: bool = False) -> None:
         try:
             super()._finish(rec, ready_hint=ready_hint)
         finally:
             with self._cv:
-                self._current = None
+                self._batch = []
+                self._started = False
+
+    def _on_dispatch_consumed(self, jobs: List[Job]) -> None:
+        # error path consumed the dispatch: free the slot (without this
+        # the worker would report busy forever — the one-job slot is
+        # normally cleared by _finish)
+        with self._cv:
+            self._batch = []
+            self._started = False
 
     def get_waiting_time(self) -> int:
-        """Remaining time of the in-flight job
+        """Remaining time of the in-flight dispatch
         (reference: worker_global_queue.cc:125-164)."""
         if not self.is_available():
             return LARGE_WAITING_TIME
-        cur = self._current
+        cur = self._batch[0] if self._batch else None
         if cur is None:
             return 0
         expected = self.engine.get_expected_latency(cur.subgraph_key)

@@ -77,6 +77,25 @@ class HEFTScheduler(Scheduler):
                 )
             if self.reserve:
                 self._update_reservation(best_job, best_key)
+            # continuous batching under a global queue (TPU-native, no
+            # reference analogue): stack same-(model, progress) window
+            # jobs onto the claimed worker — they ride the SAME batched
+            # device program, so the waiting estimate stays one expected
+            # latency, not a sum
+            limit = self.engine.get_worker_batch_limit(best_key.worker_id)
+            if limit > 1:
+                sig0 = (best_job.model_id, best_job.resolved_unit_subgraphs)
+                stacked = []
+                for job in list(queue)[: self.window]:
+                    if len(stacked) >= limit - 1:
+                        break
+                    if (job.model_id, job.resolved_unit_subgraphs) == sig0:
+                        stacked.append(job)
+                for job in stacked:
+                    queue.remove(job)
+                    actions.append((job, best_key))
+                    if self.reserve:
+                        self._update_reservation(job, best_key)
         return actions
 
     def _update_reservation(self, job: Job, key: SubgraphKey) -> None:
