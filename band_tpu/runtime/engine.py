@@ -90,6 +90,8 @@ class _ModelRecord:
         # boundary_bytes[u] = bytes of activations crossing the boundary
         # just before unit u (for transfer costing)
         self.boundary_bytes: Dict[int, int] = {}
+        # flat arrays for the native planner DP (runtime/native)
+        self.plan_tables = None
 
 
 class Engine(EngineBase):
@@ -144,6 +146,17 @@ class Engine(EngineBase):
         self._worker_devices: List[List[jax.Device]] = [
             self._resolve_devices(spec) for spec in config.worker.workers
         ]
+        # native planner decision core (C++, reference parity with the
+        # native scheduler layer); None -> pure-Python DP fallback
+        from . import native as plan_native
+
+        self._plan_native = plan_native
+        self._plan_lib = plan_native.load()
+        self._plan_tls = threading.local()
+        self._plan_workers = plan_native.WorkerTables(
+            [self._worker_is_host(w) for w in range(len(self.workers))],
+            self._worker_devices,
+        )
         for w in self.workers:
             w.start()
 
@@ -285,6 +298,13 @@ class Engine(EngineBase):
             [graph.tensor(t) for t in graph.outputs]
         )
         rec.boundary_bytes = _boundary_bytes(graph, spec)
+        rec.plan_tables = self._plan_native.PlanTables(
+            spec.num_unit_subgraphs, rec.subgraph_keys, rec.boundary_bytes
+        )
+        for i, key in enumerate(rec.plan_tables.keys):
+            self.latency_estimator.bind_slot(
+                key, rec.plan_tables.expected_us, i
+            )
         if target_worker >= 0:
             rec.worker_id = target_worker
         else:
@@ -549,7 +569,42 @@ class Engine(EngineBase):
         reference DP, engine.cc:966-1052, with inter-hop transfer
         costs): memo[j][w] = earliest finish of units <= j with the last
         hop on worker w; returns the *first* hop of the best path plus
-        the path's expected end time."""
+        the path's expected end time.
+
+        Runs in the native C++ core (runtime/native/plan_core.cc) when
+        available — schedulers price every window job through this each
+        round, making it the planner's decision hot loop — with the
+        pure-Python DP below as the behavioral reference."""
+        rec = self._rec(job.model_id)
+        if self._plan_lib is not None and rec.plan_tables is not None:
+            resolved = job.resolved_unit_subgraphs
+            start = (max(resolved) + 1) if resolved else 0
+            if start >= rec.spec.num_unit_subgraphs:
+                return None, 0
+            n_workers = len(self.workers)
+            wvec = getattr(self._plan_tls, "wvec", None)
+            if wvec is None or len(wvec) != n_workers:
+                wvec = np.zeros(n_workers, np.int64)
+                self._plan_tls.wvec = wvec
+            else:
+                wvec[:] = 0
+            for wid, t in waiting.items():
+                if 0 <= wid < n_workers:
+                    wvec[wid] = min(t, 1 << 62)
+            prev_worker = (
+                job.subgraph_key.worker_id
+                if job.subgraph_key.is_valid()
+                else -1
+            )
+            return self._plan_native.plan_dp(
+                self._plan_lib, rec.plan_tables, self._plan_workers,
+                wvec, start, prev_worker,
+            )
+        return self._py_get_subgraph_with_shortest_latency(job, waiting)
+
+    def _py_get_subgraph_with_shortest_latency(
+        self, job: Job, waiting: Dict[int, int]
+    ) -> Tuple[Optional[SubgraphKey], int]:
         rec = self._rec(job.model_id)
         num_units = rec.spec.num_unit_subgraphs
         resolved = job.resolved_unit_subgraphs

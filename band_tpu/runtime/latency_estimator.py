@@ -45,8 +45,27 @@ class LatencyEstimator:
         self._db: Dict[SubgraphKey, LatencyRecord] = {}
         self._lock = threading.Lock()
         self._model_names: Dict[int, str] = {}
+        # write-through slots into the native planner's flat expected-
+        # latency arrays (runtime/native.PlanTables), so scheduler-time
+        # DP calls marshal nothing per key
+        self._slots: Dict[SubgraphKey, list] = {}
         if self._path:
             self.load_profile(self._path)
+
+    # ------------------------------------------------------------------
+    def bind_slot(self, key: SubgraphKey, arr, idx: int) -> None:
+        """Mirror this key's expected latency into arr[idx] on every
+        update (arr is a shared int64 numpy array)."""
+        with self._lock:
+            self._slots.setdefault(key, []).append((arr, idx))
+            rec = self._db.get(key)
+            arr[idx] = (
+                (rec.moving_averaged or rec.profiled or -1) if rec else -1
+            )
+
+    def _write_through(self, key: SubgraphKey, rec: LatencyRecord) -> None:
+        for arr, idx in self._slots.get(key, ()):
+            arr[idx] = rec.moving_averaged or rec.profiled or -1
 
     # ------------------------------------------------------------------
     def profile(self, key: SubgraphKey, invoke: Callable[[], None]) -> int:
@@ -62,6 +81,7 @@ class LatencyEstimator:
             rec = self._db.setdefault(key, LatencyRecord())
             rec.profiled = int(elapsed_us)
             rec.moving_averaged = int(elapsed_us)
+            self._write_through(key, rec)
         return int(elapsed_us)
 
     def update(self, key: SubgraphKey, latency_us: int) -> None:
@@ -75,6 +95,7 @@ class LatencyEstimator:
                     self._alpha * latency_us
                     + (1.0 - self._alpha) * rec.moving_averaged
                 )
+            self._write_through(key, rec)
 
     def set_profiled(self, key: SubgraphKey, latency_us: int) -> None:
         with self._lock:
@@ -82,6 +103,7 @@ class LatencyEstimator:
             rec.profiled = int(latency_us)
             if rec.moving_averaged == 0:
                 rec.moving_averaged = int(latency_us)
+            self._write_through(key, rec)
 
     # ------------------------------------------------------------------
     def get_profiled(self, key: SubgraphKey) -> int:
@@ -148,4 +170,5 @@ class LatencyEstimator:
                     profiled=int(rec["profiled"]),
                     moving_averaged=int(rec["moving_averaged"]),
                 )
+                self._write_through(key, self._db[key])
         return True

@@ -1,0 +1,114 @@
+"""Native planner decision core (runtime/native/plan_core.cc) vs the
+pure-Python DP (Engine._py_get_subgraph_with_shortest_latency).
+
+The native core must return the same best end time as the Python DP on
+every (job progress, waiting vector) instance — ties between equal-cost
+paths may resolve to different (equally optimal) first hops, so the hop
+is checked by cost, not identity."""
+
+import numpy as np
+import pytest
+
+import band_tpu as bt
+from band_tpu.common import Job
+from band_tpu.runtime import native as plan_native
+
+from test_fallback_chain import (  # noqa: F401  (fixture re-use)
+    _test_host_op,
+    make_chain_graph,
+    make_engine,
+)
+from band_tpu.ir.model import Model
+
+
+def test_native_lib_builds():
+    assert plan_native.load() is not None, "native planner failed to build"
+
+
+@pytest.fixture
+def chain_engine(_test_host_op):
+    engine = make_engine(
+        bt.SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME
+    )
+    model = Model(graph=make_chain_graph())
+    model_id = engine.register_model(model)
+    yield engine, model_id
+    engine.shutdown()
+
+
+def _dp_pair(engine, job, waiting):
+    key_n, end_n = engine.get_subgraph_with_shortest_latency(job, waiting)
+    key_p, end_p = engine._py_get_subgraph_with_shortest_latency(
+        job, waiting
+    )
+    return (key_n, end_n), (key_p, end_p)
+
+
+def test_native_matches_python_on_chain_model(chain_engine):
+    engine, model_id = chain_engine
+    assert engine._plan_lib is not None
+    rec = engine._rec(model_id)
+    num_units = rec.spec.num_unit_subgraphs
+    assert num_units >= 3
+
+    rng = np.random.default_rng(0)
+    checked = 0
+    for trial in range(200):
+        # random job progress: a prefix of resolved units
+        start = int(rng.integers(0, num_units + 1))
+        job = Job(model_id=model_id, job_id=trial)
+        job.resolved_unit_subgraphs = frozenset(range(start))
+        if start > 0:
+            # pretend the previous hop ran on a random worker
+            prev = [
+                k for k in rec.subgraph_keys if k.end_unit == start - 1
+            ]
+            if prev:
+                job.subgraph_key = prev[
+                    int(rng.integers(0, len(prev)))
+                ]
+        waiting = {
+            w: int(rng.integers(0, 5000))
+            for w in range(len(engine.workers))
+        }
+        if rng.random() < 0.2:  # throttled-worker sentinel
+            waiting[int(rng.integers(0, len(engine.workers)))] = 1 << 62
+        (key_n, end_n), (key_p, end_p) = _dp_pair(engine, job, waiting)
+        assert end_n == end_p, (trial, start, waiting)
+        assert (key_n is None) == (key_p is None)
+        if key_n is not None:
+            # both hops must start at the job's frontier; equal-cost ties
+            # may pick different workers
+            assert key_n.begin_unit == key_p.begin_unit
+            checked += 1
+    assert checked > 50
+
+
+def test_native_matches_python_after_ema_updates(chain_engine):
+    """The estimator write-through must keep the native expected-latency
+    array current, so EMA updates change both DPs identically."""
+    engine, model_id = chain_engine
+    rec = engine._rec(model_id)
+    job = Job(model_id=model_id, job_id=0)
+    job.resolved_unit_subgraphs = frozenset()
+    waiting = {w: 0 for w in range(len(engine.workers))}
+
+    for i, key in enumerate(rec.subgraph_keys):
+        engine.update_latency(key, 1000 * (i + 1))
+    (key_n, end_n), (key_p, end_p) = _dp_pair(engine, job, waiting)
+    assert end_n == end_p
+    # and again after more updates shift the EMA
+    for key in rec.subgraph_keys:
+        engine.update_latency(key, 50)
+    (key_n2, end_n2), (key_p2, end_p2) = _dp_pair(engine, job, waiting)
+    assert end_n2 == end_p2
+    assert end_n2 != end_n  # the updates actually moved the estimate
+
+
+def test_plan_tables_expected_mirrors_estimator(chain_engine):
+    engine, model_id = chain_engine
+    rec = engine._rec(model_id)
+    for i, key in enumerate(rec.plan_tables.keys):
+        assert rec.plan_tables.expected_us[i] == engine.get_expected_latency(
+            key
+        )
