@@ -120,6 +120,7 @@ class Engine(EngineBase):
             if mask is not None:
                 cpu_dev.set_thread_affinity(mask)
         self._models: Dict[int, _ModelRecord] = {}
+        self._unregistering: set = set()
         self._model_counter = 0
         self._fault_counts: Dict[int, int] = {}
         self._lock = threading.RLock()
@@ -316,6 +317,41 @@ class Engine(EngineBase):
         self._profile_model(rec)
         return model_id
 
+    def unregister_model(self, model_id: int) -> None:
+        """Remove a registered model (reference: engine.cc:291-316).
+
+        Goes further than the reference (which erases its maps without
+        draining): new requests fail immediately with NotFound, queued
+        jobs finish as ENQUEUE_FAILED via a planner-thread purge, and
+        in-flight dispatches drain before the record is dropped."""
+        import time as _time
+
+        with self._lock:
+            if model_id not in self._models:
+                raise NotFound(f"unknown model {model_id}")
+            self._unregistering.add(model_id)
+        def _finalize() -> bool:
+            # runs on the planner thread between scheduling passes
+            if any(w.has_jobs_for(model_id) for w in self.workers):
+                return False
+            with self._lock:
+                self._models.pop(model_id, None)
+            return True
+
+        try:
+            deadline = _time.monotonic() + 30.0
+            while _time.monotonic() < deadline:
+                if self.planner.purge_model(model_id, _finalize):
+                    return
+                _time.sleep(0.01)
+            # drain timed out (a wedged worker); drop the record anyway —
+            # in-flight jobs for it will fail, matching the reference's
+            # non-draining erase (engine.cc:296-313)
+            with self._lock:
+                self._models.pop(model_id, None)
+        finally:
+            self._unregistering.discard(model_id)
+
     def _profile_model(self, rec: _ModelRecord) -> None:
         """Profile every prepared subgraph in isolation
         (reference: latency_estimator.cc:62-126: pause workers ->
@@ -387,6 +423,8 @@ class Engine(EngineBase):
         options = options or [RequestOption()] * len(model_ids)
         jobs = []
         for model_id, inputs, option in zip(model_ids, inputs_batch, options):
+            if model_id in self._unregistering:
+                raise NotFound(f"model {model_id} is being unregistered")
             rec = self._rec(model_id)
             job = Job(model_id=model_id)
             job.model_fname = rec.model.name
@@ -466,6 +504,9 @@ class Engine(EngineBase):
         if rec is None:
             raise NotFound(f"unknown model {model_id}")
         return rec
+
+    def has_model(self, model_id: int) -> bool:
+        return model_id in self._models
 
     def enqueue_batch(self, jobs, push_front: bool = False) -> List[int]:
         return self.planner.enqueue_batch(jobs, push_front)

@@ -61,6 +61,11 @@ class EngineBase(abc.ABC):
         return 1
 
     # --- model / subgraph queries ----------------------------------------
+    def has_model(self, model_id: int) -> bool:
+        """False once a model has been unregistered (default: all model
+        ids the planner sees are live)."""
+        return True
+
     @abc.abstractmethod
     def get_model_worker(self, model_id: int) -> int:
         """Preassigned worker for fixed-worker scheduling."""

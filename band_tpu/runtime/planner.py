@@ -74,6 +74,9 @@ class Planner:
         ]
         self._requests: Deque[Job] = collections.deque()
         self._requests_lock = threading.Lock()
+        # pending model purges: (model_id, done event), processed on the
+        # planner thread so queue surgery never races the schedulers
+        self._purges: List = []
         self._job_counter = itertools.count()
         self._safe_event = SafeEvent()
 
@@ -132,6 +135,23 @@ class Planner:
     def trigger(self) -> None:
         self._safe_event.notify()
 
+    def purge_model(
+        self, model_id: int, finalize=None, timeout: float = 10.0
+    ) -> bool:
+        """Fail every queued job of a model with ENQUEUE_FAILED (used by
+        Engine.unregister_model); blocks until the planner thread has
+        done the queue surgery.  `finalize`, if given, runs on the
+        planner thread right after the purge (between scheduling passes,
+        so record teardown cannot race a scheduler mid-pass); its bool
+        result is returned."""
+        ev = threading.Event()
+        holder = {"done": False}
+        with self._requests_lock:
+            self._purges.append((model_id, finalize, holder, ev))
+        self._safe_event.notify()
+        ev.wait(timeout)
+        return holder["done"]
+
     # ------------------------------------------------------------------
     def wait(self, job_ids: Sequence[int], timeout: float = 60.0) -> Dict[int, JobStatus]:
         """Block until all job ids are finished (reference:
@@ -186,6 +206,18 @@ class Planner:
             self._requests.clear()
         if not jobs:
             return
+        # jobs for models that vanished mid-flight (unregister raced a
+        # continuation re-enqueue) fail here instead of crashing a
+        # scheduler on an unknown model id
+        live = []
+        for job in jobs:
+            if not self.engine.has_model(job.model_id):
+                job.status = JobStatus.ENQUEUE_FAILED
+                job.end_time = now_us()
+                self.enqueue_finished_job(job)
+            else:
+                live.append(job)
+        jobs = live
         if len(self.local_queues) == 1:
             self.local_queues[0].extend(jobs)
             return
@@ -194,6 +226,25 @@ class Planner:
                 self.local_queues[0].append(job)
             else:
                 self.local_queues[-1].append(job)
+
+    def _process_purges(self) -> None:
+        with self._requests_lock:
+            if not self._purges:
+                return
+            purges, self._purges = self._purges, []
+        for model_id, finalize, holder, ev in purges:
+            for queue in self.local_queues:
+                dropped = [j for j in queue if j.model_id == model_id]
+                if dropped:
+                    kept = [j for j in queue if j.model_id != model_id]
+                    queue.clear()
+                    queue.extend(kept)
+                for job in dropped:
+                    job.status = JobStatus.ENQUEUE_FAILED
+                    job.end_time = now_us()
+                    self.enqueue_finished_job(job)
+            holder["done"] = finalize() if finalize is not None else True
+            ev.set()
 
     def _plan(self) -> None:
         """Main loop (reference: planner.cc:268-293)."""
@@ -211,6 +262,7 @@ class Planner:
             if not self._running:
                 return
             self._copy_to_local_queues()
+            self._process_purges()
             for scheduler, queue in zip(self.schedulers, self.local_queues):
                 if queue:
                     actions = scheduler.schedule(queue)

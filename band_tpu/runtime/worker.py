@@ -107,6 +107,12 @@ class Worker:
                     self._cv.notify_all()
 
     # --- queue interface (overridden) ---
+    def has_jobs_for(self, model_id: int) -> bool:
+        """True while any queued or in-flight job belongs to the model
+        (used by Engine.unregister_model to drain safely)."""
+        with self._cv:
+            return any(j.model_id == model_id for j in self._inflight_jobs)
+
     def enqueue_job(self, job: Job) -> bool:
         raise NotImplementedError
 
@@ -368,6 +374,12 @@ class DeviceQueueWorker(Worker):
     def has_job(self) -> bool:
         return bool(self._queue)
 
+    def has_jobs_for(self, model_id: int) -> bool:
+        with self._cv:
+            return any(
+                j.model_id == model_id for j in self._inflight_jobs
+            ) or any(j.model_id == model_id for j in self._queue)
+
     def _dequeue(self) -> Optional[Job]:
         if not self._queue:
             return None
@@ -453,6 +465,12 @@ class GlobalQueueWorker(Worker):
 
     def has_job(self) -> bool:
         return bool(self._batch) and not self._started
+
+    def has_jobs_for(self, model_id: int) -> bool:
+        with self._cv:
+            return any(
+                j.model_id == model_id for j in self._inflight_jobs
+            ) or any(j.model_id == model_id for j in self._batch)
 
     def _dequeue(self) -> Optional[Job]:
         jobs = self._dequeue_many()

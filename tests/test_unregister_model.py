@@ -1,0 +1,98 @@
+"""Engine.unregister_model (reference: engine.cc:291-316, which erases
+its executor/spec/ring maps; ours additionally drains safely)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import band_tpu as bt
+from band_tpu.errors import NotFound
+DATA = "/root/reference/band/test/data"
+
+
+def make_engine():
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.SHORTEST_EXPECTED_LATENCY)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(1,)))
+        .profile_warmups(1)
+        .profile_runs(1)
+        .build()
+    )
+    return bt.Engine.create(cfg)
+
+
+@pytest.fixture
+def engine():
+    eng = make_engine()
+    yield eng
+    eng.shutdown()
+
+
+def _register_add(engine):
+    return engine.register_model(bt.Model.from_path(f"{DATA}/add.tflite"))
+
+
+def test_unregister_then_request_raises(engine):
+    model_id = _register_add(engine)
+    x = np.full((1, 8, 8, 3), 2.0, np.float32)
+    out = engine.request_sync(model_id, [x])
+    np.testing.assert_allclose(out[0], x * 3.0)
+
+    engine.unregister_model(model_id)
+    assert not engine.has_model(model_id)
+    with pytest.raises(NotFound):
+        engine.request_sync(model_id, [x])
+    # double unregister is NotFound too
+    with pytest.raises(NotFound):
+        engine.unregister_model(model_id)
+
+
+def test_unregister_is_per_model(engine):
+    a = _register_add(engine)
+    b = _register_add(engine)
+    x = np.full((1, 8, 8, 3), 1.5, np.float32)
+    engine.unregister_model(a)
+    out = engine.request_sync(b, [x])
+    np.testing.assert_allclose(out[0], x * 3.0)
+    assert engine.has_model(b) and not engine.has_model(a)
+
+
+def test_unregister_under_load_drains_cleanly(engine):
+    """Unregister while requests stream in: no crash, the survivor model
+    keeps serving, and the unregistered model's queued jobs fail instead
+    of wedging the planner."""
+    a = _register_add(engine)
+    b = _register_add(engine)
+    x = np.full((1, 8, 8, 3), 2.0, np.float32)
+
+    stop = threading.Event()
+    errors = []
+
+    def pump(model_id):
+        while not stop.is_set():
+            try:
+                engine.request_async(model_id, [x])
+            except NotFound:
+                return  # expected once unregistered
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [
+        threading.Thread(target=pump, args=(m,)) for m in (a, a, b)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        engine.unregister_model(a)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+    assert not errors
+    # engine still serves the survivor after the churn
+    out = engine.request_sync(b, [x], timeout=30)
+    np.testing.assert_allclose(out[0], x * 3.0)
