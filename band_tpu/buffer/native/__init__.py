@@ -17,16 +17,24 @@ _load_failed = False
 
 
 def _build() -> bool:
+    # build to a private temp path, then atomically publish: a concurrent
+    # process can never dlopen a half-written library
+    tmp = f"{_LIB}.tmp{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB],
+             "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -25,6 +25,9 @@ def build(out_dir: str | None = None, quiet: bool = False) -> str:
     include = sysconfig.get_paths()["include"]
     libdir = sysconfig.get_config_var("LIBDIR")
     ldver = sysconfig.get_config_var("LDVERSION")
+    # build to a private temp path, then atomically publish: a concurrent
+    # process can never dlopen a half-written library
+    tmp = f"{out}.tmp{os.getpid()}"
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         src,
@@ -32,11 +35,16 @@ def build(out_dir: str | None = None, quiet: bool = False) -> str:
         f"-L{libdir}",
         f"-lpython{ldver}",
         f"-Wl,-rpath,{libdir}",
-        "-o", out,
+        "-o", tmp,
     ]
     if not quiet:
         print(" ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=quiet)
+    try:
+        subprocess.run(cmd, check=True, capture_output=quiet)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

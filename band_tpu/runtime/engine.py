@@ -336,6 +336,7 @@ class Engine(EngineBase):
                 return False
             with self._lock:
                 self._models.pop(model_id, None)
+            self.latency_estimator.unbind_model(model_id)
             return True
 
         try:
@@ -349,6 +350,7 @@ class Engine(EngineBase):
             # non-draining erase (engine.cc:296-313)
             with self._lock:
                 self._models.pop(model_id, None)
+            self.latency_estimator.unbind_model(model_id)
         finally:
             self._unregistering.discard(model_id)
 
@@ -669,7 +671,11 @@ class Engine(EngineBase):
                 expected = self.get_expected_latency(key)
                 if expected < 0:
                     expected = 0
-                w_wait = waiting.get(key.worker_id, 0)
+                # waiting saturates at LARGE_WAITING_TIME ("never"), the
+                # same clamp the native path applies — int64-safe and
+                # identical between the two implementations even when a
+                # scheduler stacks reservations on top of the sentinel
+                w_wait = min(waiting.get(key.worker_id, 0), 1 << 62)
                 nxt = key.end_unit + 1
                 for src_w, (t, hop) in memo[begin].items():
                     xfer = self.get_transfer_cost_us(

@@ -67,6 +67,14 @@ class LatencyEstimator:
         for arr, idx in self._slots.get(key, ()):
             arr[idx] = rec.moving_averaged or rec.profiled or -1
 
+    def unbind_model(self, model_id: int) -> None:
+        """Drop write-through slots for an unregistered model (the
+        latency records themselves persist, like the reference's profile
+        DB outliving any one registration)."""
+        with self._lock:
+            for key in [k for k in self._slots if k.model_id == model_id]:
+                del self._slots[key]
+
     # ------------------------------------------------------------------
     def profile(self, key: SubgraphKey, invoke: Callable[[], None]) -> int:
         """Measure `invoke` (warmups + timed runs) and record the result

@@ -12,6 +12,7 @@ from __future__ import annotations
 import collections
 import itertools
 import threading
+import traceback
 from typing import Callable, Deque, Dict, List, Optional, Sequence, Set
 
 from ..common import (
@@ -26,6 +27,7 @@ from ..common import (
 )
 from ..config import PlannerConfig
 from ..errors import ConfigError
+from ..tracing.logger import log_error
 from .engine_interface import EngineBase
 
 NUM_FINISHED_RECORDS = 1000
@@ -264,9 +266,27 @@ class Planner:
             self._copy_to_local_queues()
             self._process_purges()
             for scheduler, queue in zip(self.schedulers, self.local_queues):
-                if queue:
+                if not queue:
+                    continue
+                try:
                     actions = scheduler.schedule(queue)
                     self._enqueue_to_workers(actions)
+                except Exception:
+                    # never kill the planner thread: fail jobs whose
+                    # model vanished mid-pass (an unregister race), log
+                    # anything else loudly and keep scheduling
+                    log_error(
+                        "planner pass error:\n%s", traceback.format_exc()
+                    )
+                    dead = [
+                        j for j in queue
+                        if not self.engine.has_model(j.model_id)
+                    ]
+                    for job in dead:
+                        queue.remove(job)
+                        job.status = JobStatus.ENQUEUE_FAILED
+                        job.end_time = now_us()
+                        self.enqueue_finished_job(job)
 
     def _enqueue_to_workers(self, actions: Sequence[ScheduleAction]) -> None:
         """SLO early-drop + continuation split + dispatch

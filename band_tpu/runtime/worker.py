@@ -20,12 +20,14 @@ from __future__ import annotations
 import collections
 import threading
 import time
+import traceback
 from typing import Deque, List, Optional
 
 import jax
 
 from ..common import Job, JobStatus, now_us
 from ..config import WorkerSpec
+from ..tracing.logger import log_error
 from ..errors import ExecutionError
 from ..tracing.job_tracer import tracer
 from .engine_interface import EngineBase
@@ -166,6 +168,10 @@ class Worker:
                 jobs = []
                 if self.has_job() and len(inflight) < depth:
                     jobs = self._dequeue_many()
+                    # visible to has_jobs_for/waiting-time from the moment
+                    # they leave the queue (no blind window during the
+                    # input-copy + launch phase)
+                    self._inflight_jobs.extend(jobs)
                 if jobs or inflight:
                     self._processing = True
             try:
@@ -182,6 +188,18 @@ class Worker:
                     recs = list(inflight)
                     inflight.clear()
                     self._finish_window(recs)
+            except Exception:  # safety net: never kill the worker thread
+                log_error(
+                    "worker %d loop error:\n%s",
+                    self.worker_id, traceback.format_exc(),
+                )
+                while inflight:
+                    failed_jobs, _ = inflight.popleft()
+                    for j in failed_jobs:
+                        j.status = JobStatus.INVOKE_FAILURE
+                        j.end_time = now_us()
+                        self.engine.enqueue_finished_job(j)
+                    self._drop_inflight(failed_jobs)
             finally:
                 with self._idle_cv:
                     self._processing = bool(inflight)
@@ -189,9 +207,16 @@ class Worker:
                 if not inflight:
                     self.engine.trigger()
 
+    def _drop_inflight(self, jobs: List[Job]) -> None:
+        with self._cv:
+            self._inflight_jobs = [
+                j for j in self._inflight_jobs if j not in jobs
+            ]
+
     def _dispatch(self, jobs: List[Job]):
         """Assemble inputs and launch (no completion wait).  Returns an
-        in-flight record or None if the error paths consumed the jobs."""
+        in-flight record or None if the error paths consumed the jobs.
+        The caller has already marked `jobs` in-flight."""
         key = jobs[0].subgraph_key
         try:
             inputs_list = [
@@ -205,11 +230,11 @@ class Worker:
                 rec = (jobs, [self.engine.invoke(key, inputs_list[0])])
             else:
                 rec = (jobs, self.engine.invoke_batched(key, inputs_list))
-            self._inflight_jobs.extend(jobs)
             return rec
         except ExecutionError:
             for j in jobs:
                 tracer().end_subgraph(j)
+            self._drop_inflight(jobs)
             self._handle_device_error(jobs[0])
             for j in jobs[1:]:
                 j.subgraph_key = type(j.subgraph_key)()
@@ -218,6 +243,7 @@ class Worker:
             self._on_dispatch_consumed(jobs)
             return None
         except Exception:
+            self._drop_inflight(jobs)
             for j in jobs:
                 j.status = JobStatus.INVOKE_FAILURE
                 j.end_time = now_us()
@@ -262,9 +288,7 @@ class Worker:
                 j.end_time = now_us()
                 tracer().end_subgraph(j)
                 self.engine.enqueue_finished_job(j)
-            self._inflight_jobs = [
-                j for j in self._inflight_jobs if j not in jobs
-            ]
+            self._drop_inflight(jobs)
             return
         end = now_us()
         latency = end - jobs[0].invoke_time
@@ -274,75 +298,33 @@ class Worker:
             j.profiled_execution_time = latency
             tracer().end_subgraph(j)
             self._complete(j, outs)
-        self._inflight_jobs = [
-            j for j in self._inflight_jobs if j not in jobs
-        ]
-
-    def _process(self, job: Job) -> None:
-        key = job.subgraph_key
-        try:
-            inputs = self.engine.try_copy_input_tensors(job)
-            job.invoke_time = now_us()
-            tracer().begin_subgraph(job)
-            outputs = self.engine.invoke(key, inputs)
-            outputs = jax.block_until_ready(outputs)
-            latency = now_us() - job.invoke_time
-            self.engine.update_latency(key, latency)
-            job.end_time = now_us()
-            job.profiled_execution_time = latency
-            tracer().end_subgraph(job)
-        except ExecutionError:
-            self._handle_device_error(job)
-            return
-        except Exception:
-            job.status = JobStatus.INVOKE_FAILURE
-            job.end_time = now_us()
-            tracer().end_subgraph(job)
-            self.engine.enqueue_finished_job(job)
-            return
-
-        self._complete(job, outputs)
+        self._drop_inflight(jobs)
 
     def _complete(self, job: Job, outputs) -> None:
-        if job.following_jobs:
-            # pipeline continuation: hand boundary activations to the next hop
-            self.engine.try_copy_output_tensors(job, outputs)
-            for fj in job.following_jobs:
-                fj.activations.update(job.activations)
-            self.engine.enqueue_batch(job.following_jobs, push_front=True)
-        else:
-            self.engine.try_copy_output_tensors(job, outputs)
-            job.status = JobStatus.SUCCESS
-            self.engine.enqueue_finished_job(job)
-
-    def _process_batch(self, jobs: List[Job]) -> None:
-        """Continuous batching: same-subgraph jobs as one vmapped dispatch."""
-        key = jobs[0].subgraph_key
         try:
-            inputs_list = [
-                self.engine.try_copy_input_tensors(j) for j in jobs
-            ]
-            start = now_us()
-            for j in jobs:
-                j.invoke_time = start
-                tracer().begin_subgraph(j)
-            outputs_list = self.engine.invoke_batched(key, inputs_list)
-            outputs_list = jax.block_until_ready(outputs_list)
-            end = now_us()
-            latency = end - start
-            self.engine.update_latency(key, latency)
-            for j in jobs:
-                j.end_time = end
-                j.profiled_execution_time = latency
-                tracer().end_subgraph(j)
+            if job.following_jobs:
+                # pipeline continuation: hand boundary activations to the
+                # next hop
+                self.engine.try_copy_output_tensors(job, outputs)
+                for fj in job.following_jobs:
+                    fj.activations.update(job.activations)
+                self.engine.enqueue_batch(
+                    job.following_jobs, push_front=True
+                )
+            else:
+                self.engine.try_copy_output_tensors(job, outputs)
+                job.status = JobStatus.SUCCESS
+                self.engine.enqueue_finished_job(job)
         except Exception:
-            for j in jobs:
-                j.status = JobStatus.INVOKE_FAILURE
-                j.end_time = now_us()
-                self.engine.enqueue_finished_job(j)
-            return
-        for j, outs in zip(jobs, outputs_list):
-            self._complete(j, outs)
+            # e.g. the model vanished under a timed-out unregister drain:
+            # fail the job rather than killing the worker thread
+            log_error(
+                "worker %d completion error for job %d:\n%s",
+                self.worker_id, job.job_id, traceback.format_exc(),
+            )
+            job.status = JobStatus.INVOKE_FAILURE
+            job.end_time = now_us()
+            self.engine.enqueue_finished_job(job)
 
     def _handle_device_error(self, job: Job) -> None:
         """Throttle + give jobs back to the planner (reference:

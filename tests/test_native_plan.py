@@ -22,6 +22,10 @@ from band_tpu.ir.model import Model
 
 
 def test_native_lib_builds():
+    import shutil
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain; engine runs on the Python DP")
     assert plan_native.load() is not None, "native planner failed to build"
 
 
@@ -30,6 +34,9 @@ def chain_engine(_test_host_op):
     engine = make_engine(
         bt.SchedulerType.HETEROGENEOUS_EARLIEST_FINISH_TIME
     )
+    if engine._plan_lib is None:
+        engine.shutdown()
+        pytest.skip("native planner unavailable (no toolchain)")
     model = Model(graph=make_chain_graph())
     model_id = engine.register_model(model)
     yield engine, model_id
@@ -73,6 +80,12 @@ def test_native_matches_python_on_chain_model(chain_engine):
         }
         if rng.random() < 0.2:  # throttled-worker sentinel
             waiting[int(rng.integers(0, len(engine.workers)))] = 1 << 62
+        if rng.random() < 0.2:
+            # reservations stacked ON TOP of the sentinel (HEFT-reserved
+            # does this); both DPs must saturate identically
+            waiting[int(rng.integers(0, len(engine.workers)))] = (
+                (1 << 62) + int(rng.integers(1, 10000))
+            )
         (key_n, end_n), (key_p, end_p) = _dp_pair(engine, job, waiting)
         assert end_n == end_p, (trial, start, waiting)
         assert (key_n is None) == (key_p is None)

@@ -72,7 +72,11 @@ def test_unregister_under_load_drains_cleanly(engine):
     errors = []
 
     def pump(model_id):
-        while not stop.is_set():
+        # bounded + paced so the post-churn assertion isn't queued behind
+        # an unbounded backlog (the point is the race, not the load)
+        for _ in range(300):
+            if stop.is_set():
+                return
             try:
                 engine.request_async(model_id, [x])
             except NotFound:
@@ -80,6 +84,9 @@ def test_unregister_under_load_drains_cleanly(engine):
             except Exception as e:  # pragma: no cover
                 errors.append(e)
                 return
+            import time
+
+            time.sleep(0.001)
 
     threads = [
         threading.Thread(target=pump, args=(m,)) for m in (a, a, b)
