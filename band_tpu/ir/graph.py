@@ -118,6 +118,10 @@ class Graph:
     outputs: List[int]
     description: str = ""
     version: int = 3
+    # all subgraphs of the containing model, set when control-flow ops
+    # (WHILE/IF) reference sibling subgraphs by index; shared across the
+    # model's Graph objects
+    subgraphs: Optional[List["Graph"]] = None
 
     def tensor(self, i: int) -> TensorDef:
         return self.tensors[i]

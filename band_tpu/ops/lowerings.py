@@ -558,6 +558,11 @@ def _prepare_fc(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     w_td = graph.tensor(op.inputs[1])
     x_td = graph.tensor(op.inputs[0])
     w = w_td.data  # [out, in]
+    if w is None:
+        # runtime weights (e.g. captured by a control-flow branch
+        # subgraph): nothing to prepare; the float trace reads them from
+        # the environment
+        return {}
     if x_td.quant is None or x_td.dtype.kind == "f":
         d: Dict[str, Any] = {"w": w.astype(np.float32)}
         if len(op.inputs) > 2 and op.inputs[2] >= 0:
@@ -573,17 +578,31 @@ def _prepare_fc(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
 def _fully_connected(ctx: LowerCtx, op: OpNode) -> None:
     g = ctx.graph
     x = ctx.arr(op.inputs[0])
-    w = ctx.param(op, "w")  # float: [out, in]; quant: [in, out]
     out_td = g.tensor(op.outputs[0])
 
     if not ctx.is_quantized(op.inputs[0]):
+        # float path; weights may be runtime values (control-flow
+        # branches capture them as subgraph inputs)
+        if f"op{op.index}/w" in ctx.params:
+            w = ctx.param(op, "w")  # [out, in]
+        else:
+            w = ctx.arr(op.inputs[1])
         x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
         acc = jnp.dot(x2, w.T, preferred_element_type=jnp.float32)
         if f"op{op.index}/bias" in ctx.params:
             acc = acc + ctx.param(op, "bias")
+        elif len(op.inputs) > 2 and op.inputs[2] >= 0:
+            b_td = g.tensor(op.inputs[2])
+            acc = acc + (
+                jnp.asarray(b_td.data.astype(np.float32))
+                if b_td.is_constant
+                else ctx.arr(op.inputs[2])
+            )
         out = _apply_float_activation(acc, op.options.get("activation", "NONE"))
         ctx.set(op.outputs[0], out.reshape(out_td.shape).astype(out_td.dtype))
         return
+
+    w = ctx.param(op, "w")  # quant: [in, out]
 
     xzp = ctx.smeta(op, "x_zp")
     wzp = ctx.smeta(op, "w_zp")
@@ -938,11 +957,32 @@ def _strided_slice(ctx: LowerCtx, op: OpNode) -> None:
 @register("SLICE", static_inputs=(1, 2))
 def _slice(ctx: LowerCtx, op: OpNode) -> None:
     x = ctx.arr(op.inputs[0])
-    begin = [int(v) for v in ctx.static(op.inputs[1])]
+    size_td = ctx.graph.tensor(op.inputs[2])
+    begin_td = ctx.graph.tensor(op.inputs[1])
+    if begin_td.is_constant and size_td.is_constant:
+        begin = [int(v) for v in ctx.static(op.inputs[1])]
+        size = [int(v) for v in ctx.static(op.inputs[2])]
+        size = [
+            x.shape[d] - begin[d] if s == -1 else s
+            for d, s in enumerate(size)
+        ]
+        ctx.set(op.outputs[0], lax.slice(x, begin,
+                                         [b + s for b, s in zip(begin, size)]))
+        return
+    # dynamic begin (e.g. a loop counter inside WHILE): sizes must be
+    # fully static — XLA has no dynamically-shaped results
+    if not size_td.is_constant:
+        raise LoweringError(
+            "SLICE: dynamic sizes are not expressible in XLA (static "
+            "shapes); convert growing-loop models through the fused "
+            "kernel path (e.g. UNIDIRECTIONAL_SEQUENCE_LSTM)"
+        )
     size = [int(v) for v in ctx.static(op.inputs[2])]
-    size = [x.shape[d] - begin[d] if s == -1 else s for d, s in enumerate(size)]
-    ctx.set(op.outputs[0], lax.slice(x, begin,
-                                     [b + s for b, s in zip(begin, size)]))
+    if any(s == -1 for s in size):
+        raise LoweringError("SLICE: -1 size with a dynamic begin")
+    bvec = ctx.arr(op.inputs[1])
+    starts = [bvec[i] for i in range(len(size))]
+    ctx.set(op.outputs[0], lax.dynamic_slice(x, starts, size))
 
 
 @register("SPLIT", static_inputs=(0,))
@@ -1935,3 +1975,206 @@ def _rank(ctx: LowerCtx, op: OpNode) -> None:
 @register("ZEROS_LIKE")
 def _zeros_like(ctx: LowerCtx, op: OpNode) -> None:
     ctx.set(op.outputs[0], jnp.zeros_like(ctx.arr(op.inputs[0])))
+
+
+@register("UNIDIRECTIONAL_SEQUENCE_LSTM")
+def _useq_lstm(ctx: LowerCtx, op: OpNode) -> None:
+    """Fused sequence LSTM, float path (reference backend: TFLite
+    lstm_eval float kernel; keras converts LSTM layers to this op).
+
+    Implements the full float semantics — CIFG (absent input gate
+    weights), peephole connections, projection, per-gate layer norm,
+    cell/projection clips, time-major or batch-major — as one
+    `lax.scan` over time so XLA compiles the recurrence into a single
+    on-device loop.  Quantized LSTM variants are out of scope (raise)."""
+    g = ctx.graph
+
+    def opt(i):
+        tid = op.inputs[i] if i < len(op.inputs) else -1
+        if tid < 0:
+            return None
+        v = ctx.arr(tid)
+        # zero-size placeholders also mean "absent"
+        return None if (hasattr(v, "size") and v.size == 0) else v
+
+    x_td = g.tensor(op.inputs[0])
+    if x_td.dtype != np.float32:
+        raise LoweringError(
+            "UNIDIRECTIONAL_SEQUENCE_LSTM: only the float kernel is "
+            "implemented (quantized LSTM not in the workload class)"
+        )
+    x = ctx.arr(op.inputs[0])
+    w_i, w_f, w_c, w_o = opt(1), opt(2), opt(3), opt(4)
+    r_i, r_f, r_c, r_o = opt(5), opt(6), opt(7), opt(8)
+    p_i, p_f, p_o = opt(9), opt(10), opt(11)
+    b_i, b_f, b_c, b_o = opt(12), opt(13), opt(14), opt(15)
+    proj_w, proj_b = opt(16), opt(17)
+    ln_i, ln_f, ln_c, ln_o = opt(20), opt(21), opt(22), opt(23)
+    cifg = w_i is None
+
+    time_major = bool(op.options.get("time_major", False))
+    cell_clip = float(op.options.get("cell_clip", 0.0))
+    proj_clip = float(op.options.get("proj_clip", 0.0))
+    act_name = op.options.get("activation", "TANH")
+    act = (lambda v: v) if act_name == "NONE" else (
+        jnp.tanh if act_name == "TANH" else
+        (lambda v: _apply_float_activation(v, act_name))
+    )
+
+    xs = x if time_major else jnp.swapaxes(x, 0, 1)  # [T, B, I]
+    batch = xs.shape[1]
+    n_cell = w_f.shape[0]
+    n_output = r_f.shape[1]
+
+    def gate(xt, h, c_prev, w, r, p, b, ln):
+        z = xt @ w.T + h @ r.T
+        if p is not None:
+            z = z + c_prev * p
+        if ln is not None:
+            # TFLite MeanStddevNormalization over the cell dim, then the
+            # per-gate coefficient; the gate bias applies after the norm
+            mu = jnp.mean(z, axis=-1, keepdims=True)
+            var = jnp.mean((z - mu) ** 2, axis=-1, keepdims=True)
+            z = (z - mu) * jax.lax.rsqrt(var + 1e-8) * ln
+        if b is not None:
+            z = z + b
+        return z
+
+    def step(carry, xt):
+        h, c = carry
+        f = jax.nn.sigmoid(gate(xt, h, c, w_f, r_f, p_f, b_f, ln_f))
+        if cifg:
+            i = 1.0 - f
+        else:
+            i = jax.nn.sigmoid(gate(xt, h, c, w_i, r_i, p_i, b_i, ln_i))
+        gc = act(gate(xt, h, c, w_c, r_c, None, b_c, ln_c))
+        c_new = f * c + i * gc
+        if cell_clip > 0.0:
+            c_new = jnp.clip(c_new, -cell_clip, cell_clip)
+        # the output gate's peephole reads the UPDATED cell state
+        o = jax.nn.sigmoid(gate(xt, h, c_new, w_o, r_o, p_o, b_o, ln_o))
+        h_new = o * act(c_new)
+        if proj_w is not None:
+            h_new = h_new @ proj_w.T
+            if proj_b is not None:
+                h_new = h_new + proj_b
+            if proj_clip > 0.0:
+                h_new = jnp.clip(h_new, -proj_clip, proj_clip)
+        return (h_new, c_new), h_new
+
+    h0 = jnp.zeros((batch, n_output), np.float32)
+    c0 = jnp.zeros((batch, n_cell), np.float32)
+    _, hs = jax.lax.scan(step, (h0, c0), xs)
+    out = hs if time_major else jnp.swapaxes(hs, 0, 1)
+    ctx.set(op.outputs[0], out)
+
+
+# --------------------------------------------------------------------------
+# Control flow (WHILE/IF over sibling subgraphs).  The reference backend
+# runs these through the TFLite interpreter's control-flow kernels; here
+# each referenced subgraph lowers to a traced child program inside
+# lax.while_loop / lax.cond, so the whole loop compiles into ONE XLA
+# computation.  Bodies must be static-shape (XLA's model); TFLite models
+# whose loops grow tensors per iteration (keras-3 TensorArray writes)
+# are rejected with a clear error — the fused LSTM path covers those.
+# --------------------------------------------------------------------------
+
+class _ChildProgram:
+    """A sibling subgraph prepared for tracing inside a parent lowering."""
+
+    def __init__(self, graph, exact: bool):
+        from ..backend.program import prepare_params
+
+        self.graph = graph
+        self.exact = exact
+        self.params, self.meta = prepare_params(
+            graph, range(len(graph.ops)), exact
+        )
+
+    def __call__(self, conv_mode: str, values):
+        from ..ops.registry import get_lowering as _get
+
+        ctx = LowerCtx(
+            self.graph,
+            {k: jnp.asarray(v) for k, v in self.params.items()},
+            self.meta,
+            exact=self.exact,
+            conv_mode=conv_mode,
+        )
+        for tid, v in zip(self.graph.inputs, values):
+            ctx.set(tid, v)
+        for op_ in self.graph.ops:
+            _get(op_.opname).trace(ctx, op_)
+        return [ctx.arr(t) for t in self.graph.outputs]
+
+
+def _prepare_control_flow(graph, op: OpNode, exact: bool):
+    subs = graph.subgraphs
+    if not subs:
+        raise LoweringError(f"{op.opname}: model has no subgraph table")
+    if op.opname == "WHILE":
+        roles = (
+            ("cond", op.options.get("cond_subgraph_index", 0)),
+            ("body", op.options.get("body_subgraph_index", 0)),
+        )
+    else:
+        roles = (
+            ("then", op.options.get("then_subgraph_index", 0)),
+            ("else", op.options.get("else_subgraph_index", 0)),
+        )
+    return {name: _ChildProgram(subs[idx], exact) for name, idx in roles}
+
+
+def _cf_arr(ctx: LowerCtx, tid: int):
+    """Operand of a control-flow op: constants come straight from the
+    graph (ops with a `prepare` hook skip generic param registration)."""
+    td = ctx.graph.tensor(tid)
+    if td.is_constant and tid not in ctx.env:
+        return jnp.asarray(td.data)
+    return ctx.arr(tid)
+
+
+@register("WHILE", prepare=_prepare_control_flow)
+def _while(ctx: LowerCtx, op: OpNode) -> None:
+    cond = ctx.meta[f"op{op.index}/cond"]
+    body = ctx.meta[f"op{op.index}/body"]
+    init = tuple(_cf_arr(ctx, t) for t in op.inputs)
+
+    def cond_fn(carry):
+        out = cond(ctx.conv_mode, list(carry))
+        if len(out) != 1:
+            raise LoweringError("WHILE: cond subgraph must yield one bool")
+        return jnp.reshape(out[0], ()).astype(bool)
+
+    def body_fn(carry):
+        out = body(ctx.conv_mode, list(carry))
+        if len(out) != len(carry):
+            raise LoweringError(
+                f"WHILE: body arity {len(out)} != carry {len(carry)}"
+            )
+        # loop-carried values must keep their dtypes (weak-type drift
+        # from python scalars would fail while_loop's structure check)
+        return tuple(
+            o.astype(c.dtype) if o.dtype != c.dtype else o
+            for o, c in zip(out, carry)
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+    for tid, v in zip(op.outputs, final):
+        ctx.set(tid, v)
+
+
+@register("IF", prepare=_prepare_control_flow)
+def _if(ctx: LowerCtx, op: OpNode) -> None:
+    then_p = ctx.meta[f"op{op.index}/then"]
+    else_p = ctx.meta[f"op{op.index}/else"]
+    pred = jnp.reshape(_cf_arr(ctx, op.inputs[0]), ()).astype(bool)
+    args = tuple(_cf_arr(ctx, t) for t in op.inputs[1:])
+    outs = jax.lax.cond(
+        pred,
+        lambda a: tuple(then_p(ctx.conv_mode, list(a))),
+        lambda a: tuple(else_p(ctx.conv_mode, list(a))),
+        args,
+    )
+    for tid, v in zip(op.outputs, outs):
+        ctx.set(tid, v)

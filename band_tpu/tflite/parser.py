@@ -114,6 +114,30 @@ def _transpose_conv_options(t: Table) -> Dict[str, Any]:
     }
 
 
+def _useq_lstm_options(t: Table) -> Dict[str, Any]:
+    return {
+        "activation": _ACT.get(t.i8(0), "NONE"),
+        "cell_clip": t.f32(1, 0.0),
+        "proj_clip": t.f32(2, 0.0),
+        "time_major": t.bool_(3),
+        "asymmetric_quantize_inputs": t.bool_(4),
+    }
+
+
+def _while_options(t: Table) -> Dict[str, Any]:
+    return {
+        "cond_subgraph_index": t.i32(0, 0),
+        "body_subgraph_index": t.i32(1, 0),
+    }
+
+
+def _if_options(t: Table) -> Dict[str, Any]:
+    return {
+        "then_subgraph_index": t.i32(0, 0),
+        "else_subgraph_index": t.i32(1, 0),
+    }
+
+
 def _pack_options(t: Table) -> Dict[str, Any]:
     return {"values_count": t.i32(0, 0), "axis": t.i32(1, 0)}
 
@@ -213,6 +237,9 @@ _OPTION_PARSERS: Dict[int, Callable[[Table], Dict[str, Any]]] = {
     S.OptionsType.OneHotOptions: _one_hot_options,
     S.OptionsType.CumsumOptions: _cumsum_options,
     S.OptionsType.LocalResponseNormalizationOptions: _lrn_options,
+    S.OptionsType.UnidirectionalSequenceLSTMOptions: _useq_lstm_options,
+    S.OptionsType.WhileOptions: _while_options,
+    S.OptionsType.IfOptions: _if_options,
 }
 
 
@@ -264,7 +291,9 @@ def _parse_quant(t: Optional[Table]) -> Optional[QuantParams]:
     )
 
 
-def parse_tflite(data: bytes, subgraph_index: int = 0) -> Graph:
+def parse_tflite(
+    data: bytes, subgraph_index: int = 0, _wire_subgraphs: bool = True
+) -> Graph:
     """Parse the bytes of a ``.tflite`` file into an IR Graph."""
     if len(data) < 8:
         raise ModelError("file too small to be a .tflite model")
@@ -291,7 +320,15 @@ def parse_tflite(data: bytes, subgraph_index: int = 0) -> Graph:
         ttype = S.TensorType(tt.i8(S.TensorF.TYPE, 0))
         buf_idx = tt.u32(S.TensorF.BUFFER, 0)
         data_arr: Optional[np.ndarray] = None
-        if buf_idx and buf_idx < len(buffers):
+        if tt.bool_(S.TensorF.IS_VARIABLE):
+            # stateful tensor (RNN/LSTM state): TFLite zero-initializes
+            # variable tensors; serving is stateless per request, so the
+            # state materializes as an all-zeros constant (the fused LSTM
+            # kernel resets state per invocation in this regime)
+            from ..ir.graph import numpy_dtype
+
+            data_arr = np.zeros(shape, numpy_dtype(ttype))
+        elif buf_idx and buf_idx < len(buffers):
             raw = buffers[buf_idx].bytes_vector(S.BufferF.DATA)
             if raw:
                 from ..ir.graph import numpy_dtype
@@ -340,7 +377,7 @@ def parse_tflite(data: bytes, subgraph_index: int = 0) -> Graph:
             )
         )
 
-    return Graph(
+    g = Graph(
         name=sg.string(S.SubGraphF.NAME) or "main",
         tensors=tensors,
         ops=ops,
@@ -349,6 +386,19 @@ def parse_tflite(data: bytes, subgraph_index: int = 0) -> Graph:
         description=model.string(S.ModelF.DESCRIPTION) or "",
         version=model.u32(S.ModelF.VERSION, 3),
     )
+    if _wire_subgraphs and any(
+        op.opname in ("WHILE", "IF", "CALL_ONCE") for op in ops
+    ):
+        # control-flow ops reference sibling subgraphs by index: parse
+        # them all once and share the list so nested control flow works
+        shared = [
+            g if i == subgraph_index
+            else parse_tflite(data, i, _wire_subgraphs=False)
+            for i in range(len(subgraphs))
+        ]
+        for child in shared:
+            child.subgraphs = shared
+    return g
 
 
 def parse_tflite_file(path: str, subgraph_index: int = 0) -> Graph:

@@ -192,6 +192,9 @@ class OptionsType(enum.IntEnum):
     PackOptions = 59
     OneHotOptions = 61
     UnpackOptions = 64
+    UnidirectionalSequenceLSTMOptions = 71
+    IfOptions = 92
+    WhileOptions = 93
     ResizeNearestNeighborOptions = 74
     LeakyReluOptions = 75
     MirrorPadOptions = 77

@@ -1,0 +1,58 @@
+"""Generator for tests/data/lstm_seq.tflite — a keras sequence model
+the converter fuses into UNIDIRECTIONAL_SEQUENCE_LSTM ops (stacked
+LSTMs + dense head), extending coverage to the recurrent model family.
+
+Run: python tests/gen_lstm_model.py   (writes tests/data/)
+"""
+
+import os
+
+import numpy as np
+import tensorflow as tf
+# Keras 3 (tf.keras in TF>=2.16) broke the converter's LSTM fusion
+# pattern (it emits WHILE loops); the Keras 2 compat package still
+# produces the fused UNIDIRECTIONAL_SEQUENCE_LSTM ops this generator is
+# about.  tests/gen's keras-3 fallback would exercise the WHILE path
+# instead (see lstm_seq_while below).
+import tf_keras as keras
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                   "lstm_seq.tflite")
+OUT_WHILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "lstm_seq_while.tflite")
+
+
+def main() -> None:
+    keras.utils.set_random_seed(7)
+    model = keras.Sequential([
+        keras.layers.Input(shape=(12, 16), batch_size=1),
+        keras.layers.LSTM(24, return_sequences=True),
+        keras.layers.LSTM(16),
+        keras.layers.Dense(10),
+        keras.layers.Softmax(),
+    ])
+    conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    data = conv.convert()
+    with open(OUT, "wb") as f:
+        f.write(data)
+    print(f"wrote {OUT} ({len(data)} bytes)")
+
+    # same architecture through Keras 3: the converter lowers the
+    # recurrence as WHILE ops over body/cond subgraphs (control flow)
+    tf.keras.utils.set_random_seed(7)
+    model3 = tf.keras.Sequential([
+        tf.keras.layers.Input(shape=(12, 16), batch_size=1),
+        tf.keras.layers.LSTM(24, return_sequences=True),
+        tf.keras.layers.LSTM(16),
+        tf.keras.layers.Dense(10),
+        tf.keras.layers.Softmax(),
+    ])
+    conv3 = tf.lite.TFLiteConverter.from_keras_model(model3)
+    data3 = conv3.convert()
+    with open(OUT_WHILE, "wb") as f:
+        f.write(data3)
+    print(f"wrote {OUT_WHILE} ({len(data3)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Recurrent model family: fused UNIDIRECTIONAL_SEQUENCE_LSTM (the op
+keras LSTM layers convert to; reference backend runs it via TFLite's
+lstm_eval float kernel).  Verified against the interpreter and served
+end-to-end through the engine."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import band_tpu as bt
+from band_tpu.backend.program import build_program
+from band_tpu.tflite.parser import parse_tflite_file
+from tests.conftest import make_tfl_interpreter, random_feeds
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+MODEL = os.path.join(DATA, "lstm_seq.tflite")
+
+
+def _oracle(path, rng):
+    it = make_tfl_interpreter(path)
+    it.allocate_tensors()
+    feeds = random_feeds(it, rng)
+    for d in it.get_input_details():
+        it.set_tensor(d["index"], feeds[d["index"]])
+    it.invoke()
+    ref = {d["index"]: it.get_tensor(d["index"])
+           for d in it.get_output_details()}
+    return feeds, ref
+
+
+@pytest.mark.skipif(not os.path.exists(MODEL), reason="generated model missing")
+def test_fused_lstm_matches_interpreter(rng):
+    feeds, ref = _oracle(MODEL, rng)
+    g = parse_tflite_file(MODEL)
+    hist = g.op_histogram()
+    assert hist.get("UNIDIRECTIONAL_SEQUENCE_LSTM", 0) == 2
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode="f32_split")
+    fn = jax.jit(prog.make_fn())
+    outs = fn({k: np.asarray(v) for k, v in prog.params.items()},
+              [feeds[t] for t in prog.input_ids])
+    got = {t: np.asarray(o) for t, o in zip(prog.output_ids, outs)}
+    for tid, r in ref.items():
+        np.testing.assert_allclose(got[tid], r, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(MODEL), reason="generated model missing")
+def test_lstm_served_through_engine(rng):
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        mid = eng.register_model(bt.Model.from_path(MODEL))
+        x = rng.standard_normal((1, 12, 16)).astype(np.float32)
+        out = eng.request_sync(mid, [x])
+        assert out[0].shape == (1, 10)
+        np.testing.assert_allclose(out[0].sum(), 1.0, rtol=1e-4)
+
+        it = make_tfl_interpreter(MODEL)
+        it.allocate_tensors()
+        it.set_tensor(it.get_input_details()[0]["index"], x)
+        it.invoke()
+        ref = it.get_tensor(it.get_output_details()[0]["index"])
+        np.testing.assert_allclose(out[0], ref, rtol=2e-5, atol=2e-6)
+    finally:
+        eng.shutdown()
