@@ -873,11 +873,42 @@ def _transpose(ctx: LowerCtx, op: OpNode) -> None:
     ctx.set(op.outputs[0], jnp.transpose(x, perm))
 
 
+class _DynSlice:
+    """Deferred dynamic-SIZE slice: XLA cannot produce a dynamically
+    shaped value, but the only place TFLite emits one is the TensorArray
+    write pattern `concat(buf[:i], v, buf[i+1:])` (keras-3 converted
+    RNN loop bodies).  SLICE parks the pieces here; CONCATENATION
+    recognizes the pattern and lowers the whole thing as one
+    `lax.dynamic_update_slice` (static shapes throughout).  Any other
+    consumer raises the pointed error below."""
+
+    def __init__(self, src, begin, sizes):
+        self.src = src      # the buffer being sliced (traced array)
+        self.begin = begin  # traced begin vector (or list of ints)
+        self.sizes = sizes  # traced size vector
+
+    def fail(self) -> "NoReturn":
+        raise LoweringError(
+            "SLICE: dynamic sizes are not expressible in XLA outside the "
+            "TensorArray-write pattern (concat(buf[:i], v, buf[i+1:])); "
+            "convert growing-loop models through the fused kernel path "
+            "(e.g. UNIDIRECTIONAL_SEQUENCE_LSTM)"
+        )
+
+    # any accidental arithmetic/inspection use surfaces the real story
+    def __getattr__(self, name):
+        self.fail()
+
+
 @register("CONCATENATION")
 def _concat(ctx: LowerCtx, op: OpNode) -> None:
     g = ctx.graph
     out_td = g.tensor(op.outputs[0])
     axis = op.options.get("axis", 0)
+    raw = [ctx.arr(tid) for tid in op.inputs]
+    if any(isinstance(v, _DynSlice) for v in raw):
+        _concat_tensorarray_write(ctx, op, raw, axis)
+        return
     parts = []
     out_q = out_td.quant
     for tid in op.inputs:
@@ -903,6 +934,43 @@ def _concat(ctx: LowerCtx, op: OpNode) -> None:
             )
         parts.append(v)
     ctx.set(op.outputs[0], jnp.concatenate(parts, axis=axis))
+
+
+def _concat_tensorarray_write(ctx: LowerCtx, op: OpNode, raw, axis) -> None:
+    """concat(buf[:i], v, buf[i+1:]) -> lax.dynamic_update_slice."""
+    markers = [v for v in raw if isinstance(v, _DynSlice)]
+    dense = [v for v in raw if not isinstance(v, _DynSlice)]
+    if len(dense) != 1 or len(markers) not in (1, 2):
+        markers[0].fail()
+    src = markers[0].src
+    for m in markers[1:]:
+        if m.src is not src:
+            m.fail()
+    update = dense[0]
+    # the update's position along `axis` is the length of the prefix
+    # slice (= its dynamic size), or begin-minus-one of the suffix slice
+    # when the prefix is absent (i == 0 writes)
+    prefix = None
+    for m in markers:
+        b = m.begin
+        is_prefix = (
+            not hasattr(b, "dtype") and all(int(x) == 0 for x in b)
+        )
+        if is_prefix:
+            prefix = m
+    if prefix is not None:
+        idx = jnp.reshape(prefix.sizes[axis], ())
+    else:
+        b = markers[0].begin
+        idx = jnp.reshape(
+            (b[axis] if hasattr(b, "dtype") else jnp.asarray(b[axis]))
+            - update.shape[axis], ()
+        )
+    starts = [
+        idx if d == axis else jnp.zeros((), idx.dtype)
+        for d in range(update.ndim)
+    ]
+    ctx.set(op.outputs[0], lax.dynamic_update_slice(src, update, starts))
 
 
 @register("PAD", static_inputs=(1,))
@@ -969,20 +1037,25 @@ def _slice(ctx: LowerCtx, op: OpNode) -> None:
         ctx.set(op.outputs[0], lax.slice(x, begin,
                                          [b + s for b, s in zip(begin, size)]))
         return
-    # dynamic begin (e.g. a loop counter inside WHILE): sizes must be
-    # fully static — XLA has no dynamically-shaped results
-    if not size_td.is_constant:
-        raise LoweringError(
-            "SLICE: dynamic sizes are not expressible in XLA (static "
-            "shapes); convert growing-loop models through the fused "
-            "kernel path (e.g. UNIDIRECTIONAL_SEQUENCE_LSTM)"
-        )
-    size = [int(v) for v in ctx.static(op.inputs[2])]
-    if any(s == -1 for s in size):
-        raise LoweringError("SLICE: -1 size with a dynamic begin")
-    bvec = ctx.arr(op.inputs[1])
-    starts = [bvec[i] for i in range(len(size))]
-    ctx.set(op.outputs[0], lax.dynamic_slice(x, starts, size))
+    begin = (
+        [int(v) for v in begin_td.data]
+        if begin_td.is_constant
+        else ctx.arr(op.inputs[1])
+    )
+    if size_td.is_constant:
+        size = [int(v) for v in ctx.static(op.inputs[2])]
+        if not any(s == -1 for s in size):
+            # dynamic begin (e.g. a loop counter), static shape
+            starts = [begin[i] for i in range(len(size))]
+            ctx.set(op.outputs[0], lax.dynamic_slice(x, starts, size))
+            return
+        # -1 ("to end") with dynamic begin => dynamically shaped result
+        sizes = size
+    else:
+        sizes = ctx.arr(op.inputs[2])
+    # dynamically shaped result: only legal as a TensorArray-write
+    # operand, resolved by CONCATENATION (see _DynSlice)
+    ctx.set(op.outputs[0], _DynSlice(x, begin, sizes))
 
 
 @register("SPLIT", static_inputs=(0,))

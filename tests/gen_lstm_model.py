@@ -53,6 +53,22 @@ def main() -> None:
         f.write(data3)
     print(f"wrote {OUT_WHILE} ({len(data3)} bytes)")
 
+    # GRU: keras-3 converts it the same WHILE-loop way (there is no
+    # fused GRU builtin), exercising the TensorArray rewrite on a
+    # different cell body
+    tf.keras.utils.set_random_seed(9)
+    gru = tf.keras.Sequential([
+        tf.keras.layers.Input(shape=(10, 12), batch_size=1),
+        tf.keras.layers.GRU(20, return_sequences=True),
+        tf.keras.layers.GRU(14),
+        tf.keras.layers.Dense(6),
+    ])
+    data4 = tf.lite.TFLiteConverter.from_keras_model(gru).convert()
+    out4 = OUT_WHILE.replace("lstm_seq_while", "gru_seq_while")
+    with open(out4, "wb") as f:
+        f.write(data4)
+    print(f"wrote {out4} ({len(data4)} bytes)")
+
 
 if __name__ == "__main__":
     main()

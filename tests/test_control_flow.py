@@ -102,21 +102,30 @@ def test_while_served_through_engine(rng):
         eng.shutdown()
 
 
-def test_keras3_dynamic_while_is_rejected_clearly():
-    """keras-3-converted LSTMs lower recurrence as WHILE bodies that
-    grow tensors per step (TensorArray writes); XLA cannot express
-    dynamic shapes, so the lowering must fail with a pointed message
-    (the fused-LSTM conversion path is the supported route)."""
+def test_keras3_dynamic_while_lstm_matches_interpreter(rng):
+    """keras-3-converted LSTMs lower recurrence as WHILE bodies whose
+    TensorArray writes are dynamically shaped slice/concat chains; the
+    lowering rewrites `concat(buf[:i], v, buf[i+1:])` into one
+    `lax.dynamic_update_slice` so the whole loop still compiles with
+    static shapes."""
     path = os.path.join(DATA, "lstm_seq_while.tflite")
     if not os.path.exists(path):
         pytest.skip("generated model missing")
-    from band_tpu.errors import LoweringError
+    x = rng.standard_normal((1, 12, 16)).astype(np.float32)
+    ref = _run_tfl(path, [x])
+    got = _run_band(path, [x])
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-6)
 
-    g = parse_tflite_file(path)
-    prog = build_program(g, range(len(g.ops)), exact=True)
-    with pytest.raises(LoweringError, match="dynamic"):
-        jax.eval_shape(
-            prog.make_fn(),
-            {k: np.asarray(v) for k, v in prog.params.items()},
-            [np.zeros(s, d) for s, d in prog.input_specs],
-        )
+
+def test_keras3_gru_while_matches_interpreter(rng):
+    """GRU has no fused TFLite builtin — keras-3 converts it as WHILE
+    loops too, exercising the TensorArray rewrite on another cell."""
+    path = os.path.join(DATA, "gru_seq_while.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    x = rng.standard_normal((1, 10, 12)).astype(np.float32)
+    ref = _run_tfl(path, [x])
+    got = _run_band(path, [x])
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-6)
