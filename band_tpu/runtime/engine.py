@@ -492,6 +492,20 @@ class Engine(EngineBase):
             rec.output_ring.put(job.output_handle, out)
         return [out[tid] for tid in rec.model.graph.outputs]
 
+    def start_device_trace(self, log_dir: str) -> None:
+        """Start an XLA/TPU-level (xprof) trace into `log_dir`.
+
+        Complements the Chrome job trace (tracing/job_tracer.py, the
+        reference's JobTracer analogue) with on-device timelines —
+        kernel occupancy, HBM traffic, per-program timing (SURVEY §7:
+        the trace tooling 'can also ingest xprof')."""
+        jax.profiler.start_trace(log_dir)
+        tracer().instant("device_trace_start", {"log_dir": log_dir})
+
+    def stop_device_trace(self) -> None:
+        tracer().instant("device_trace_stop")
+        jax.profiler.stop_trace()
+
     def register_callback(self, cb) -> int:
         return self.planner.add_callback(cb)
 

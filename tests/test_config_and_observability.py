@@ -144,3 +144,39 @@ def test_job_tracer_emits_valid_chrome_trace(tmp_path):
     tr2.begin_subgraph(job)
     tr2.end_subgraph(job)
     assert tr2._events == []
+
+
+def test_device_trace_hooks(tmp_path):
+    """Engine.start/stop_device_trace wrap jax.profiler (xprof) and
+    leave a trace dump in the target dir."""
+    import os
+
+    import band_tpu as bt
+
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        import numpy as np
+
+        mid = eng.register_model(
+            bt.Model.from_path(
+                "/root/reference/band/test/data/add.tflite"
+            )
+        )
+        trace_dir = str(tmp_path / "xprof")
+        eng.start_device_trace(trace_dir)
+        eng.request_sync(mid, [np.ones((1, 8, 8, 3), np.float32)])
+        eng.stop_device_trace()
+        found = []
+        for root, _, files in os.walk(trace_dir):
+            found += files
+        assert any(f.endswith(".xplane.pb") or "trace" in f for f in found)
+    finally:
+        eng.shutdown()
