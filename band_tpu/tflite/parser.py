@@ -291,6 +291,30 @@ def _parse_quant(t: Optional[Table]) -> Optional[QuantParams]:
     )
 
 
+def _fold_const_fp16_dequant(tensors, ops):
+    """Fold DEQUANTIZE over constant float16 weights into float32
+    constants (fp16 post-training quantization stores every weight
+    behind a DEQUANTIZE op; TFLite's runtime special-cases this too).
+    Runtime DEQUANTIZE of activations / int8 tensors is untouched."""
+    kept = []
+    for op in ops:
+        if op.opname == "DEQUANTIZE" and op.inputs[0] >= 0:
+            src = tensors[op.inputs[0]]
+            dst = tensors[op.outputs[0]]
+            if (
+                src.is_constant
+                and src.dtype == np.float16
+                and dst.quant is None
+            ):
+                dst.data = src.data.astype(np.float32)
+                continue
+        kept.append(op)
+    if len(kept) != len(ops):
+        for i, op in enumerate(kept):
+            op.index = i
+    return kept
+
+
 def parse_tflite(
     data: bytes, subgraph_index: int = 0, _wire_subgraphs: bool = True
 ) -> Graph:
@@ -377,6 +401,7 @@ def parse_tflite(
             )
         )
 
+    ops = _fold_const_fp16_dequant(tensors, ops)
     g = Graph(
         name=sg.string(S.SubGraphF.NAME) or "main",
         tensors=tensors,

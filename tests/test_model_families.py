@@ -78,3 +78,17 @@ def test_quantized_activations_bit_exact(rng):
         assert hist.get(opname, 0) >= 1
     for tid, r in ref.items():
         np.testing.assert_array_equal(got[tid], r)
+
+
+def test_fp16_ptq_cnn(rng):
+    """fp16 post-training quantization: weights stored float16 behind
+    DEQUANTIZE ops, folded to f32 constants at parse time (the mobile
+    fp16 deployment format; TFLite's runtime special-cases it too)."""
+    path = os.path.join(DATA, "fp16_cnn.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    g = parse_tflite_file(path)
+    assert "DEQUANTIZE" not in g.op_histogram()  # all folded
+    ref, got, _ = run_pair("fp16_cnn", rng)
+    for tid, r in ref.items():
+        np.testing.assert_allclose(got[tid], r, rtol=1e-5, atol=1e-6)
