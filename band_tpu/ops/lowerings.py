@@ -335,13 +335,45 @@ def _prepare_conv_common(
     return out
 
 
+def _hybrid_quant_input(x):
+    """Dynamic-range activations: quantize a float batch to int8 per
+    batch element (asymmetric, TFLite tensor_utils semantics), then
+    subtract the zero point so padded zeros represent real 0.0 exactly.
+    Returns (residual float32 integers in [-255, 255], per-batch
+    scale broadcastable over x)."""
+    n = x.shape[0]
+    flat = x.reshape(n, -1)
+    bshape = (n,) + (1,) * (x.ndim - 1)
+    rmin = jnp.minimum(flat.min(axis=1), 0.0).reshape(bshape)
+    rmax = jnp.maximum(flat.max(axis=1), 0.0).reshape(bshape)
+    degenerate = rmax <= rmin
+    scale = jnp.where(degenerate, 1.0, (rmax - rmin) / 255.0)
+    zp = jnp.clip(Q.round_ties_away(-128.0 - rmin / scale), -128.0, 127.0)
+    q = jnp.clip(Q.round_ties_away(x / scale) + zp, -128.0, 127.0)
+    r = jnp.where(degenerate, 0.0, q - zp).astype(jnp.float32)
+    return r, scale
+
+
+def _prepare_hybrid_conv(graph: Graph, op: OpNode, w_layout) -> Dict[str, Any]:
+    w_td = graph.tensor(op.inputs[1])
+    d: Dict[str, Any] = {
+        "w_q": w_layout.astype(np.float32),  # small ints, f32 conv-ready
+        "w_scale": w_td.quant.scale.astype(np.float32),  # [out]
+    }
+    if len(op.inputs) > 2 and op.inputs[2] >= 0:
+        d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
+    return d
+
+
 def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     w_td = graph.tensor(op.inputs[1])
     x_td = graph.tensor(op.inputs[0])
     if x_td.quant is None or x_td.dtype.kind == "f":
-        # float conv: just re-layout weights OHWI -> HWIO
-        w = np.transpose(w_td.data, (1, 2, 3, 0)).astype(np.float32)
-        d: Dict[str, Any] = {"w": w}
+        w = np.transpose(w_td.data, (1, 2, 3, 0))  # OHWI -> HWIO
+        if w.dtype.kind in "iu" and w_td.quant is not None:
+            return _prepare_hybrid_conv(graph, op, w)
+        # float conv: just re-layout weights
+        d: Dict[str, Any] = {"w": w.astype(np.float32)}
         if len(op.inputs) > 2 and op.inputs[2] >= 0:
             d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
         return d
@@ -396,7 +428,8 @@ def _conv_requant(ctx: LowerCtx, op: OpNode, acc):
 def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
     g = ctx.graph
     x = ctx.arr(op.inputs[0])
-    w = ctx.param(op, "w")
+    hybrid = f"op{op.index}/w_q" in ctx.params
+    w = ctx.param(op, "w_q" if hybrid else "w")
     opts = op.options
     kh, kw = w.shape[0], w.shape[1]
     ph, pw = _conv_pads(opts, x.shape[1], x.shape[2], kh, kw)
@@ -405,10 +438,15 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
     dn = ("NHWC", "HWIO", "NHWC")
 
     if not ctx.is_quantized(op.inputs[0]):
+        scale = None
+        if hybrid:
+            x, scale = _hybrid_quant_input(x)
         acc = lax.conv_general_dilated(
             x, w, strides, (ph, pw), rhs_dilation=dil, dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
+        if hybrid:
+            acc = acc * (scale * ctx.param(op, "w_scale"))
         if f"op{op.index}/bias" in ctx.params:
             acc = acc + ctx.param(op, "bias")
         out = _apply_float_activation(acc, opts.get("activation", "NONE"))
@@ -461,6 +499,8 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     # TFLite layout [1, kh, kw, out_c]; lax wants HWIO [kh, kw, 1, out_c]
     w_hwio = np.transpose(w_td.data, (1, 2, 0, 3))
     if x_td.quant is None or x_td.dtype.kind == "f":
+        if w_hwio.dtype.kind in "iu" and w_td.quant is not None:
+            return _prepare_hybrid_conv(graph, op, w_hwio)
         d: Dict[str, Any] = {"w": w_hwio.astype(np.float32)}
         if len(op.inputs) > 2 and op.inputs[2] >= 0:
             d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
@@ -476,7 +516,8 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
 def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     g = ctx.graph
     x = ctx.arr(op.inputs[0])
-    w = ctx.param(op, "w")
+    hybrid = f"op{op.index}/w_q" in ctx.params
+    w = ctx.param(op, "w_q" if hybrid else "w")
     opts = op.options
     kh, kw = w.shape[0], w.shape[1]
     ci = x.shape[-1]
@@ -487,10 +528,15 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     dn = ("NHWC", "HWIO", "NHWC")
 
     if not ctx.is_quantized(op.inputs[0]):
+        scale = None
+        if hybrid:
+            x, scale = _hybrid_quant_input(x)
         acc = lax.conv_general_dilated(
             x, w, strides, (ph, pw), rhs_dilation=dil, dimension_numbers=dn,
             feature_group_count=ci, preferred_element_type=jnp.float32,
         )
+        if hybrid:
+            acc = acc * (scale * ctx.param(op, "w_scale"))
         if f"op{op.index}/bias" in ctx.params:
             acc = acc + ctx.param(op, "bias")
         out = _apply_float_activation(acc, opts.get("activation", "NONE"))
@@ -554,6 +600,36 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
 # FULLY_CONNECTED
 # --------------------------------------------------------------------------
 
+def _hybrid_fc_matmul(ctx: LowerCtx, op: OpNode, x2):
+    """Dynamic-range (hybrid) FC: float activations quantized to int8
+    per batch row at runtime, int8 x int8 -> int32 contraction on the
+    MXU, result rescaled to float (TFLite fully_connected.cc
+    EvalHybrid + tensor_utils::{Symmetric,Asymmetric}QuantizeFloats)."""
+    wq = ctx.param(op, "w_q")          # [in, out] int8
+    w_scale = ctx.param(op, "w_scale")  # [out]
+    if op.options.get("asymmetric_quantize_inputs", False):
+        rmin = jnp.minimum(x2.min(axis=1, keepdims=True), 0.0)
+        rmax = jnp.maximum(x2.max(axis=1, keepdims=True), 0.0)
+        degenerate = rmax <= rmin
+        scale = jnp.where(degenerate, 1.0, (rmax - rmin) / 255.0)
+        zp = jnp.clip(
+            Q.round_ties_away(-128.0 - rmin / scale), -128.0, 127.0
+        )
+        q = jnp.clip(Q.round_ties_away(x2 / scale) + zp, -128.0, 127.0)
+        q = jnp.where(degenerate, 0.0, q).astype(jnp.int8)
+        acc = _int_dot(ctx, q, wq).astype(jnp.float32)
+        rowsum = ctx.param(op, "w_rowsum").astype(jnp.float32)  # [out]
+        acc = acc - zp * rowsum[None, :]
+    else:
+        amax = jnp.abs(x2).max(axis=1, keepdims=True)
+        degenerate = amax == 0.0
+        scale = jnp.where(degenerate, 1.0, amax / 127.0)
+        q = jnp.clip(Q.round_ties_away(x2 / scale), -127.0, 127.0)
+        q = jnp.where(degenerate, 0.0, q).astype(jnp.int8)
+        acc = _int_dot(ctx, q, wq).astype(jnp.float32)
+    return acc * (scale * w_scale[None, :])
+
+
 def _prepare_fc(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     w_td = graph.tensor(op.inputs[1])
     x_td = graph.tensor(op.inputs[0])
@@ -564,7 +640,22 @@ def _prepare_fc(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
         # the environment
         return {}
     if x_td.quant is None or x_td.dtype.kind == "f":
-        d: Dict[str, Any] = {"w": w.astype(np.float32)}
+        d: Dict[str, Any]
+        if w.dtype.kind in "iu" and w_td.quant is not None:
+            # hybrid / dynamic-range quantization: int8 weights with
+            # per-output-channel scales, float activations quantized
+            # per batch row at runtime (TFLite EvalHybrid)
+            d = {
+                "w_q": np.ascontiguousarray(
+                    np.transpose(w, (1, 0)).astype(np.int8)
+                ),  # [in, out]
+                "w_scale": w_td.quant.scale.astype(np.float32),  # [out]
+                "w_rowsum": w.astype(np.int64)
+                .sum(axis=1)
+                .astype(np.int32),  # [out]
+            }
+        else:
+            d = {"w": w.astype(np.float32)}
         if len(op.inputs) > 2 and op.inputs[2] >= 0:
             d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
         return d
@@ -581,14 +672,17 @@ def _fully_connected(ctx: LowerCtx, op: OpNode) -> None:
     out_td = g.tensor(op.outputs[0])
 
     if not ctx.is_quantized(op.inputs[0]):
-        # float path; weights may be runtime values (control-flow
-        # branches capture them as subgraph inputs)
-        if f"op{op.index}/w" in ctx.params:
-            w = ctx.param(op, "w")  # [out, in]
-        else:
-            w = ctx.arr(op.inputs[1])
         x2 = x.reshape(-1, x.shape[-1]) if x.ndim != 2 else x
-        acc = jnp.dot(x2, w.T, preferred_element_type=jnp.float32)
+        if f"op{op.index}/w_q" in ctx.params:
+            acc = _hybrid_fc_matmul(ctx, op, x2)
+        else:
+            # float path; weights may be runtime values (control-flow
+            # branches capture them as subgraph inputs)
+            if f"op{op.index}/w" in ctx.params:
+                w = ctx.param(op, "w")  # [out, in]
+            else:
+                w = ctx.arr(op.inputs[1])
+            acc = jnp.dot(x2, w.T, preferred_element_type=jnp.float32)
         if f"op{op.index}/bias" in ctx.params:
             acc = acc + ctx.param(op, "bias")
         elif len(op.inputs) > 2 and op.inputs[2] >= 0:

@@ -59,6 +59,7 @@ def _fc_options(t: Table) -> Dict[str, Any]:
         "activation": _ACT.get(t.i8(0), "NONE"),
         "weights_format": t.i8(1, 0),
         "keep_num_dims": t.bool_(2),
+        "asymmetric_quantize_inputs": t.bool_(3),
     }
 
 

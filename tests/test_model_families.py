@@ -92,3 +92,22 @@ def test_fp16_ptq_cnn(rng):
     ref, got, _ = run_pair("fp16_cnn", rng)
     for tid, r in ref.items():
         np.testing.assert_allclose(got[tid], r, rtol=1e-5, atol=1e-6)
+
+
+def test_dynamic_range_hybrid(rng):
+    """Dynamic-range ("hybrid") quantization: int8 weights with
+    per-channel scales, float activations quantized per batch element
+    at runtime (TFLite EvalHybrid semantics — asymmetric for FC with
+    asymmetric_quantize_inputs, zero-point-corrected for convs)."""
+    path = os.path.join(DATA, "dynrange.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    g = parse_tflite_file(path)
+    hybrid_weights = [
+        t for t in g.tensors
+        if t.is_constant and t.dtype == np.int8 and t.quant is not None
+    ]
+    assert len(hybrid_weights) >= 2  # conv + dense actually hybrid
+    ref, got, _ = run_pair("dynrange", rng)
+    for tid, r in ref.items():
+        np.testing.assert_allclose(got[tid], r, rtol=1e-4, atol=1e-5)
