@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -17,25 +16,11 @@ _load_failed = False
 
 
 def _build() -> bool:
-    # build to a private temp path, then atomically publish: a concurrent
-    # process can never dlopen a half-written library
-    tmp = f"{_LIB}.tmp{os.getpid()}"
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", tmp],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        os.replace(tmp, _LIB)
-        return True
-    except Exception:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return False
+    from ...native_build import atomic_build
+
+    return atomic_build(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC], _LIB
+    )
 
 
 def load() -> Optional[ctypes.CDLL]:

@@ -9,7 +9,6 @@ interpreter's libpython so the library can be used from plain C programs
 from __future__ import annotations
 
 import os
-import subprocess
 import sys
 import sysconfig
 
@@ -25,9 +24,6 @@ def build(out_dir: str | None = None, quiet: bool = False) -> str:
     include = sysconfig.get_paths()["include"]
     libdir = sysconfig.get_config_var("LIBDIR")
     ldver = sysconfig.get_config_var("LDVERSION")
-    # build to a private temp path, then atomically publish: a concurrent
-    # process can never dlopen a half-written library
-    tmp = f"{out}.tmp{os.getpid()}"
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         src,
@@ -35,16 +31,12 @@ def build(out_dir: str | None = None, quiet: bool = False) -> str:
         f"-L{libdir}",
         f"-lpython{ldver}",
         f"-Wl,-rpath,{libdir}",
-        "-o", tmp,
     ]
     if not quiet:
-        print(" ".join(cmd))
-    try:
-        subprocess.run(cmd, check=True, capture_output=quiet)
-        os.replace(tmp, out)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        print(" ".join(cmd + ["-o", out]))
+    from ..native_build import atomic_build
+
+    atomic_build(cmd, out, timeout=300, check=True)
     return out
 
 

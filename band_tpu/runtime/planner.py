@@ -194,7 +194,16 @@ class Planner:
                 on_fin(job.job_id)
         if job.require_callback:
             for cb in list(self._callbacks.values()):
-                cb(job.job_id, job.status)
+                try:
+                    cb(job.job_id, job.status)
+                except Exception:
+                    # user callbacks must never take down the calling
+                    # worker/planner thread (finished-job notification is
+                    # fired from both)
+                    log_error(
+                        "end-of-request callback raised for job %d:\n%s",
+                        job.job_id, traceback.format_exc(),
+                    )
 
     def get_model_execution_counts(self) -> Dict[int, int]:
         return dict(self._execution_counts)
@@ -268,54 +277,81 @@ class Planner:
             for scheduler, queue in zip(self.schedulers, self.local_queues):
                 if not queue:
                     continue
+                before = list(queue)
+                actions = []
                 try:
                     actions = scheduler.schedule(queue)
-                    self._enqueue_to_workers(actions)
                 except Exception:
-                    # never kill the planner thread: fail jobs whose
-                    # model vanished mid-pass (an unregister race), log
-                    # anything else loudly and keep scheduling
+                    # never kill the planner thread: a scheduler can
+                    # raise mid-pass when a model vanishes under it (an
+                    # unregister race). Jobs it already popped are in
+                    # neither the queue nor any worker — rescue them:
+                    # requeue live-model ones, fail vanished-model ones,
+                    # and drop any reservations they booked.
                     log_error(
-                        "planner pass error:\n%s", traceback.format_exc()
+                        "scheduler pass error:\n%s", traceback.format_exc()
                     )
-                    dead = [
+                    still_queued = {id(j) for j in queue}
+                    on_fin = getattr(scheduler, "on_job_finished", None)
+                    for job in before:
+                        if id(job) in still_queued:
+                            continue
+                        if on_fin:
+                            on_fin(job.job_id)
+                        if self.engine.has_model(job.model_id):
+                            queue.appendleft(job)
+                        else:
+                            self._fail_job(job)
+                    for job in [
                         j for j in queue
                         if not self.engine.has_model(j.model_id)
-                    ]
-                    for job in dead:
+                    ]:
                         queue.remove(job)
-                        job.status = JobStatus.ENQUEUE_FAILED
-                        job.end_time = now_us()
-                        self.enqueue_finished_job(job)
+                        self._fail_job(job)
+                self._enqueue_to_workers(actions)
+
+    def _fail_job(self, job: Job) -> None:
+        job.status = JobStatus.ENQUEUE_FAILED
+        job.end_time = now_us()
+        self.enqueue_finished_job(job)
 
     def _enqueue_to_workers(self, actions: Sequence[ScheduleAction]) -> None:
         """SLO early-drop + continuation split + dispatch
-        (reference: planner.cc:322-409)."""
+        (reference: planner.cc:322-409).  Per-action errors (a model
+        vanishing between pricing and dispatch) fail that job only."""
         for job, key in actions:
-            if key is None or not key.is_valid():
-                job.status = JobStatus.ENQUEUE_FAILED
+            try:
+                self._enqueue_one(job, key)
+            except Exception:
+                log_error(
+                    "dispatch error for job %d:\n%s",
+                    job.job_id, traceback.format_exc(),
+                )
+                self._fail_job(job)
+
+    def _enqueue_one(self, job: Job, key: Optional[SubgraphKey]) -> None:
+        if key is None or not key.is_valid():
+            self._fail_job(job)
+            return
+        # SLO violation check before dispatch (planner.cc:338-347)
+        if job.slo_us > 0:
+            expected = max(self.engine.get_expected_latency(key), 0)
+            if now_us() - job.enqueue_time + expected > job.slo_us:
+                job.status = JobStatus.SLO_VIOLATION
                 job.end_time = now_us()
                 self.enqueue_finished_job(job)
-                continue
-            # SLO violation check before dispatch (planner.cc:338-347)
-            if job.slo_us > 0:
-                expected = max(self.engine.get_expected_latency(key), 0)
-                if now_us() - job.enqueue_time + expected > job.slo_us:
-                    job.status = JobStatus.SLO_VIOLATION
-                    job.end_time = now_us()
-                    self.enqueue_finished_job(job)
-                    continue
-            job.subgraph_key = key
-            job.expected_execution_time = max(
-                self.engine.get_expected_latency(key), 0
-            )
-            self._update_job_schedule_status(job, key)
-            if not self.engine.dispatch(job):
-                # worker rejected (busy global-queue worker / throttled):
-                # give the job back to the planner front
-                job.subgraph_key = SubgraphKey()
-                job.following_jobs = []
-                self.enqueue_batch([job], push_front=True)
+                return
+        job.subgraph_key = key
+        job.expected_execution_time = max(
+            self.engine.get_expected_latency(key), 0
+        )
+        self._update_job_schedule_status(job, key)
+        if not self.engine.dispatch(job):
+            # worker rejected (busy global-queue worker / throttled):
+            # give the job back to the planner front
+            job.subgraph_key = SubgraphKey()
+            job.following_jobs = []
+            self.enqueue_batch([job], push_front=True)
 
     def _update_job_schedule_status(self, job: Job, key: SubgraphKey) -> None:
         """Split the remainder of a partial-model job into a following job

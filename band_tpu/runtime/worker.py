@@ -239,6 +239,7 @@ class Worker:
             for j in jobs[1:]:
                 j.subgraph_key = type(j.subgraph_key)()
                 j.status = JobStatus.QUEUED
+                j.invoke_time = 0
                 self.engine.enqueue_batch([j], push_front=True)
             self._on_dispatch_consumed(jobs)
             return None
@@ -258,21 +259,33 @@ class Worker:
 
     def _finish_window(self, recs) -> None:
         """Retire several in-flight work units, blocking only on the
-        newest (in-order execution makes the older ones ready too)."""
+        newest (in-order execution makes the older ones ready too).
+        A failure retiring one record must not strand the others (the
+        caller already cleared its deque), so each retirement is
+        individually guarded."""
+        ready_hint = False
         if len(recs) > 1:
             try:
                 jax.block_until_ready(recs[-1][1])
+                ready_hint = True
             except Exception:
                 # a program in the window failed: fall back to
                 # per-record retirement so errors stay isolated
-                for rec in recs:
-                    self._finish(rec)
-                return
-            for rec in recs:
-                self._finish(rec, ready_hint=True)
-            return
+                ready_hint = False
         for rec in recs:
-            self._finish(rec)
+            try:
+                self._finish(rec, ready_hint=ready_hint)
+            except Exception:
+                log_error(
+                    "worker %d retire error:\n%s",
+                    self.worker_id, traceback.format_exc(),
+                )
+                jobs = rec[0]
+                for j in jobs:
+                    j.status = JobStatus.INVOKE_FAILURE
+                    j.end_time = now_us()
+                    self.engine.enqueue_finished_job(j)
+                self._drop_inflight(jobs)
 
     def _finish(self, rec, ready_hint: bool = False) -> None:
         """Retire one in-flight work unit: observe completion, update
@@ -334,6 +347,9 @@ class Worker:
         for j in jobs:
             j.subgraph_key = type(j.subgraph_key)()  # reset assignment
             j.status = JobStatus.QUEUED
+            # a stale dispatch stamp would make the retried job look
+            # almost-finished to waiting-time estimates
+            j.invoke_time = 0
         self.engine.enqueue_batch(jobs, push_front=True)
 
 

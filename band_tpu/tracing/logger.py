@@ -69,7 +69,12 @@ class Logger:
             reporters = list(self._reporters)
         if reporters:
             for r in reporters:
-                r(severity, msg)
+                try:
+                    r(severity, msg)
+                except Exception:
+                    # a broken user reporter must not take down the
+                    # runtime thread that happened to log
+                    print(line, file=sys.stderr)
         else:
             print(line, file=sys.stderr)
 

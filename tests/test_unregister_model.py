@@ -2,6 +2,7 @@
 its executor/spec/ring maps; ours additionally drains safely)."""
 
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -84,8 +85,6 @@ def test_unregister_under_load_drains_cleanly(engine):
             except Exception as e:  # pragma: no cover
                 errors.append(e)
                 return
-            import time
-
             time.sleep(0.001)
 
     threads = [
