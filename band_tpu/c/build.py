@@ -34,9 +34,19 @@ def build(out_dir: str | None = None, quiet: bool = False) -> str:
     ]
     if not quiet:
         print(" ".join(cmd + ["-o", out]))
+    import subprocess
+
     from ..native_build import atomic_build
 
-    atomic_build(cmd, out, timeout=300, check=True)
+    try:
+        atomic_build(cmd, out, timeout=300, check=True)
+    except subprocess.CalledProcessError as e:
+        if e.stderr:  # surface the compiler diagnostics
+            sys.stderr.write(
+                e.stderr.decode("utf-8", "replace")
+                if isinstance(e.stderr, bytes) else str(e.stderr)
+            )
+        raise
     return out
 
 

@@ -169,6 +169,9 @@ class Job:
     output_handle: int = -1
     model_fname: str = ""
     require_callback: bool = True
+    # set once the job's outcome is decided (success enqueued, or handed
+    # off as a continuation); error-path retirement skips such jobs
+    retired: bool = False
     # boundary activations handed between subgraph hops of one request
     # (the TPU-native replacement for cross-interpreter tensor memcpy,
     # reference: engine.cc:1261-1285)

@@ -12,7 +12,12 @@ from __future__ import annotations
 import glob
 import os
 import subprocess
+import time
 from typing import Sequence
+
+# temp litter younger than this may belong to a live concurrent build
+# in another process; only genuinely stale leftovers are swept
+_STALE_TMP_SECONDS = 600.0
 
 
 def atomic_build(
@@ -23,9 +28,11 @@ def atomic_build(
 ) -> bool:
     """Run `cmd_prefix + ["-o", <tmp>]`, then atomically publish
     `lib_path`.  Returns success; raises instead when `check` is set."""
+    now = time.time()
     for stale in glob.glob(f"{lib_path}.tmp*"):
         try:
-            os.unlink(stale)
+            if now - os.path.getmtime(stale) > _STALE_TMP_SECONDS:
+                os.unlink(stale)
         except OSError:
             pass
     tmp = f"{lib_path}.tmp{os.getpid()}"

@@ -335,12 +335,11 @@ def _prepare_conv_common(
     return out
 
 
-def _hybrid_quant_input(x):
+def _asym_quant_rows(x):
     """Dynamic-range activations: quantize a float batch to int8 per
-    batch element (asymmetric, TFLite tensor_utils semantics), then
-    subtract the zero point so padded zeros represent real 0.0 exactly.
-    Returns (residual float32 integers in [-255, 255], per-batch
-    scale broadcastable over x)."""
+    batch element (asymmetric, TFLite tensor_utils semantics).  Returns
+    (q, zp, scale) broadcastable over x; degenerate (all-zero) rows get
+    q=0, zp=0, scale=1 exactly as AsymmetricQuantizeFloats does."""
     n = x.shape[0]
     flat = x.reshape(n, -1)
     bshape = (n,) + (1,) * (x.ndim - 1)
@@ -349,9 +348,18 @@ def _hybrid_quant_input(x):
     degenerate = rmax <= rmin
     scale = jnp.where(degenerate, 1.0, (rmax - rmin) / 255.0)
     zp = jnp.clip(Q.round_ties_away(-128.0 - rmin / scale), -128.0, 127.0)
+    zp = jnp.where(degenerate, 0.0, zp)
     q = jnp.clip(Q.round_ties_away(x / scale) + zp, -128.0, 127.0)
-    r = jnp.where(degenerate, 0.0, q - zp).astype(jnp.float32)
-    return r, scale
+    q = jnp.where(degenerate, 0.0, q)
+    return q, zp, scale
+
+
+def _hybrid_quant_input(x):
+    """Conv flavor of the above: subtract the zero point up front so
+    padded zeros represent real 0.0 exactly.  Returns (residual float32
+    integers in [-255, 255], per-batch scale broadcastable over x)."""
+    q, zp, scale = _asym_quant_rows(x)
+    return (q - zp).astype(jnp.float32), scale
 
 
 def _prepare_hybrid_conv(graph: Graph, op: OpNode, w_layout) -> Dict[str, Any]:
@@ -608,16 +616,8 @@ def _hybrid_fc_matmul(ctx: LowerCtx, op: OpNode, x2):
     wq = ctx.param(op, "w_q")          # [in, out] int8
     w_scale = ctx.param(op, "w_scale")  # [out]
     if op.options.get("asymmetric_quantize_inputs", False):
-        rmin = jnp.minimum(x2.min(axis=1, keepdims=True), 0.0)
-        rmax = jnp.maximum(x2.max(axis=1, keepdims=True), 0.0)
-        degenerate = rmax <= rmin
-        scale = jnp.where(degenerate, 1.0, (rmax - rmin) / 255.0)
-        zp = jnp.clip(
-            Q.round_ties_away(-128.0 - rmin / scale), -128.0, 127.0
-        )
-        q = jnp.clip(Q.round_ties_away(x2 / scale) + zp, -128.0, 127.0)
-        q = jnp.where(degenerate, 0.0, q).astype(jnp.int8)
-        acc = _int_dot(ctx, q, wq).astype(jnp.float32)
+        q, zp, scale = _asym_quant_rows(x2)
+        acc = _int_dot(ctx, q.astype(jnp.int8), wq).astype(jnp.float32)
         rowsum = ctx.param(op, "w_rowsum").astype(jnp.float32)  # [out]
         acc = acc - zp * rowsum[None, :]
     else:

@@ -277,7 +277,11 @@ class Planner:
             for scheduler, queue in zip(self.schedulers, self.local_queues):
                 if not queue:
                     continue
-                before = list(queue)
+                # schedulers only pop from their window, so the rescue
+                # snapshot need only cover that prefix
+                window = min(getattr(scheduler, "window", 1 << 30),
+                             len(queue))
+                before = list(itertools.islice(queue, window))
                 actions = []
                 try:
                     actions = scheduler.schedule(queue)
@@ -293,7 +297,8 @@ class Planner:
                     )
                     still_queued = {id(j) for j in queue}
                     on_fin = getattr(scheduler, "on_job_finished", None)
-                    for job in before:
+                    # reversed so appendleft preserves FIFO order
+                    for job in reversed(before):
                         if id(job) in still_queued:
                             continue
                         if on_fin:

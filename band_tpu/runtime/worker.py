@@ -195,11 +195,7 @@ class Worker:
                 )
                 while inflight:
                     failed_jobs, _ = inflight.popleft()
-                    for j in failed_jobs:
-                        j.status = JobStatus.INVOKE_FAILURE
-                        j.end_time = now_us()
-                        self.engine.enqueue_finished_job(j)
-                    self._drop_inflight(failed_jobs)
+                    self._fail_jobs(failed_jobs)
             finally:
                 with self._idle_cv:
                     self._processing = bool(inflight)
@@ -212,6 +208,18 @@ class Worker:
             self._inflight_jobs = [
                 j for j in self._inflight_jobs if j not in jobs
             ]
+
+    def _fail_jobs(self, jobs: List[Job]) -> None:
+        """Error-path retirement that never double-finishes: jobs a
+        partial _finish already completed (terminal status, or handed
+        off as a continuation) are left alone."""
+        for j in jobs:
+            if j.status != JobStatus.QUEUED or j.retired:
+                continue
+            j.status = JobStatus.INVOKE_FAILURE
+            j.end_time = now_us()
+            self.engine.enqueue_finished_job(j)
+        self._drop_inflight(jobs)
 
     def _dispatch(self, jobs: List[Job]):
         """Assemble inputs and launch (no completion wait).  Returns an
@@ -280,12 +288,7 @@ class Worker:
                     "worker %d retire error:\n%s",
                     self.worker_id, traceback.format_exc(),
                 )
-                jobs = rec[0]
-                for j in jobs:
-                    j.status = JobStatus.INVOKE_FAILURE
-                    j.end_time = now_us()
-                    self.engine.enqueue_finished_job(j)
-                self._drop_inflight(jobs)
+                self._fail_jobs(rec[0])
 
     def _finish(self, rec, ready_hint: bool = False) -> None:
         """Retire one in-flight work unit: observe completion, update
@@ -324,6 +327,7 @@ class Worker:
                 self.engine.enqueue_batch(
                     job.following_jobs, push_front=True
                 )
+                job.retired = True  # lives on as the continuation
             else:
                 self.engine.try_copy_output_tensors(job, outputs)
                 job.status = JobStatus.SUCCESS

@@ -111,3 +111,30 @@ def test_dynamic_range_hybrid(rng):
     ref, got, _ = run_pair("dynrange", rng)
     for tid, r in ref.items():
         np.testing.assert_allclose(got[tid], r, rtol=1e-4, atol=1e-5)
+
+
+def test_dynamic_range_hybrid_degenerate_rows(rng):
+    """All-zero input rows through the hybrid paths: TFLite's
+    AsymmetricQuantizeFloats degenerate case (rmin == rmax) must yield
+    the true zero output, not a zero-point artifact (regression: the FC
+    rowsum correction once injected 128*rowsum)."""
+    path = os.path.join(DATA, "dynrange.tflite")
+    if not os.path.exists(path):
+        pytest.skip("generated model missing")
+    import tensorflow as tf  # noqa: F401 (oracle available check)
+
+    it = make_tfl_interpreter(path)
+    it.allocate_tensors()
+    d0 = it.get_input_details()[0]
+    x = np.zeros(d0["shape"], np.float32)
+    it.set_tensor(d0["index"], x)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+
+    g = parse_tflite_file(path)
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode="f32_split")
+    fn = jax.jit(prog.make_fn())
+    outs = fn({k: np.asarray(v) for k, v in prog.params.items()}, [x])
+    np.testing.assert_allclose(np.asarray(outs[0]), ref,
+                               rtol=1e-4, atol=1e-5)
