@@ -2165,19 +2165,51 @@ def _useq_lstm(ctx: LowerCtx, op: OpNode) -> None:
         return None if (hasattr(v, "size") and v.size == 0) else v
 
     x_td = g.tensor(op.inputs[0])
-    if x_td.dtype != np.float32:
+    quantized = x_td.dtype.kind in "iu"
+    if quantized and (x_td.dtype != np.int8 or x_td.quant is None):
         raise LoweringError(
-            "UNIDIRECTIONAL_SEQUENCE_LSTM: only the float kernel is "
-            "implemented (quantized LSTM not in the workload class)"
+            "UNIDIRECTIONAL_SEQUENCE_LSTM: unsupported input type "
+            f"{x_td.dtype} (float32 and full-int8 are implemented)"
         )
-    x = ctx.arr(op.inputs[0])
-    w_i, w_f, w_c, w_o = opt(1), opt(2), opt(3), opt(4)
-    r_i, r_f, r_c, r_o = opt(5), opt(6), opt(7), opt(8)
-    p_i, p_f, p_o = opt(9), opt(10), opt(11)
-    b_i, b_f, b_c, b_o = opt(12), opt(13), opt(14), opt(15)
-    proj_w, proj_b = opt(16), opt(17)
-    ln_i, ln_f, ln_c, ln_o = opt(20), opt(21), opt(22), opt(23)
+
+    def real(i, v):
+        """Dequantize an operand to real values for the float-domain
+        simulation of the 8x8_16 integer kernel."""
+        if v is None or not quantized:
+            return v
+        td = g.tensor(op.inputs[i])
+        if td.quant is None:
+            return v.astype(jnp.float32)
+        s = float(td.quant.scale[0])
+        zp = int(td.quant.zero_point[0])
+        return (v.astype(jnp.float32) - zp) * s
+
+    x = real(0, ctx.arr(op.inputs[0]))
+    w_i, w_f, w_c, w_o = (real(i, opt(i)) for i in (1, 2, 3, 4))
+    r_i, r_f, r_c, r_o = (real(i, opt(i)) for i in (5, 6, 7, 8))
+    p_i, p_f, p_o = (real(i, opt(i)) for i in (9, 10, 11))
+    b_i, b_f, b_c, b_o = (real(i, opt(i)) for i in (12, 13, 14, 15))
+    proj_w, proj_b = real(16, opt(16)), real(17, opt(17))
+    ln_i, ln_f, ln_c, ln_o = (real(i, opt(i)) for i in (20, 21, 22, 23))
     cifg = w_i is None
+
+    # the integer kernel quantizes both states every step (int8 output
+    # state, int16 cell state) — simulate that information loss so the
+    # recurrence tracks the interpreter, not the ideal float LSTM
+    quant_h = quant_c = None
+    if quantized:
+        h_td = g.tensor(op.inputs[18])
+        c_td = g.tensor(op.inputs[19])
+        hs_, hzp = float(h_td.quant.scale[0]), int(h_td.quant.zero_point[0])
+        cs_ = float(c_td.quant.scale[0])
+
+        def quant_h(h):
+            qh = jnp.clip(Q.round_ties_away(h / hs_) + hzp, -128, 127)
+            return (qh - hzp) * hs_
+
+        def quant_c(c):
+            qc = jnp.clip(Q.round_ties_away(c / cs_), -32768, 32767)
+            return qc * cs_
 
     time_major = bool(op.options.get("time_major", False))
     cell_clip = float(op.options.get("cell_clip", 0.0))
@@ -2218,6 +2250,8 @@ def _useq_lstm(ctx: LowerCtx, op: OpNode) -> None:
         c_new = f * c + i * gc
         if cell_clip > 0.0:
             c_new = jnp.clip(c_new, -cell_clip, cell_clip)
+        if quant_c is not None:
+            c_new = quant_c(c_new)
         # the output gate's peephole reads the UPDATED cell state
         o = jax.nn.sigmoid(gate(xt, h, c_new, w_o, r_o, p_o, b_o, ln_o))
         h_new = o * act(c_new)
@@ -2227,12 +2261,20 @@ def _useq_lstm(ctx: LowerCtx, op: OpNode) -> None:
                 h_new = h_new + proj_b
             if proj_clip > 0.0:
                 h_new = jnp.clip(h_new, -proj_clip, proj_clip)
+        if quant_h is not None:
+            h_new = quant_h(h_new)
         return (h_new, c_new), h_new
 
     h0 = jnp.zeros((batch, n_output), np.float32)
     c0 = jnp.zeros((batch, n_cell), np.float32)
     _, hs = jax.lax.scan(step, (h0, c0), xs)
     out = hs if time_major else jnp.swapaxes(hs, 0, 1)
+    if quantized:
+        out_td = g.tensor(op.outputs[0])
+        s = float(out_td.quant.scale[0])
+        zp = int(out_td.quant.zero_point[0])
+        q = jnp.clip(Q.round_ties_away(out / s) + zp, -128, 127)
+        out = q.astype(out_td.dtype)
     ctx.set(op.outputs[0], out)
 
 

@@ -347,12 +347,15 @@ def parse_tflite(
         data_arr: Optional[np.ndarray] = None
         if tt.bool_(S.TensorF.IS_VARIABLE):
             # stateful tensor (RNN/LSTM state): TFLite zero-initializes
-            # variable tensors; serving is stateless per request, so the
-            # state materializes as an all-zeros constant (the fused LSTM
-            # kernel resets state per invocation in this regime)
+            # variable tensors — to the quantization zero POINT for
+            # quantized states (real zero); serving is stateless per
+            # request, so the state materializes as a constant
             from ..ir.graph import numpy_dtype
 
-            data_arr = np.zeros(shape, numpy_dtype(ttype))
+            dt = numpy_dtype(ttype)
+            q = _parse_quant(tt.table(S.TensorF.QUANTIZATION))
+            zp = int(q.zero_point[0]) if q is not None else 0
+            data_arr = np.full(shape, zp, dt)
         elif buf_idx and buf_idx < len(buffers):
             raw = buffers[buf_idx].bytes_vector(S.BufferF.DATA)
             if raw:

@@ -69,6 +69,34 @@ def main() -> None:
         f.write(data4)
     print(f"wrote {out4} ({len(data4)} bytes)")
 
+    # full-integer LSTM (the 8x8_16 kernel: int8 gates/weights/output
+    # state, int16 cell state) via post-training quantization
+    keras.utils.set_random_seed(7)
+    mq = keras.Sequential([
+        keras.layers.Input(shape=(12, 16), batch_size=1),
+        keras.layers.LSTM(24, return_sequences=True),
+        keras.layers.LSTM(16),
+        keras.layers.Dense(10),
+        keras.layers.Softmax(),
+    ])
+    convq = tf.lite.TFLiteConverter.from_keras_model(mq)
+    convq.optimizations = [tf.lite.Optimize.DEFAULT]
+    rng = np.random.default_rng(0)
+
+    def rep():
+        for _ in range(8):
+            yield [rng.standard_normal((1, 12, 16)).astype(np.float32)]
+
+    convq.representative_dataset = rep
+    convq.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    convq.inference_input_type = tf.int8
+    convq.inference_output_type = tf.int8
+    data5 = convq.convert()
+    out5 = OUT.replace("lstm_seq", "lstm_seq_int8")
+    with open(out5, "wb") as f:
+        f.write(data5)
+    print(f"wrote {out5} ({len(data5)} bytes)")
+
 
 if __name__ == "__main__":
     main()

@@ -72,3 +72,33 @@ def test_lstm_served_through_engine(rng):
         np.testing.assert_allclose(out[0], ref, rtol=2e-5, atol=2e-6)
     finally:
         eng.shutdown()
+
+
+MODEL_INT8 = os.path.join(DATA, "lstm_seq_int8.tflite")
+
+
+@pytest.mark.skipif(not os.path.exists(MODEL_INT8),
+                    reason="generated model missing")
+def test_full_int8_lstm_within_1_lsb(rng):
+    """Full-integer LSTM (the 8x8_16 kernel: int8 gates and output
+    state, int16 cell state).  Lowered as a dequantized float scan with
+    per-step state fake-quantization, which tracks the interpreter's
+    integer kernel within 1 LSB of the int8 output."""
+    g = parse_tflite_file(MODEL_INT8)
+    assert g.op_histogram().get("UNIDIRECTIONAL_SEQUENCE_LSTM", 0) == 2
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode="f32_split")
+    fn = jax.jit(prog.make_fn())
+    it = make_tfl_interpreter(MODEL_INT8)
+    it.allocate_tensors()
+    d0 = it.get_input_details()[0]
+    for trial in range(4):
+        x = rng.integers(-128, 128, d0["shape"]).astype(np.int8)
+        outs = fn({k: np.asarray(v) for k, v in prog.params.items()}, [x])
+        it.set_tensor(d0["index"], x)
+        it.invoke()
+        ref = it.get_tensor(it.get_output_details()[0]["index"])
+        d = np.abs(
+            np.asarray(outs[0]).astype(np.int32) - ref.astype(np.int32)
+        )
+        assert d.max() <= 1, (trial, d.max())
