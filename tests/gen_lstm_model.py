@@ -98,5 +98,25 @@ def main() -> None:
     print(f"wrote {out5} ({len(data5)} bytes)")
 
 
+
+def gen_bilstm() -> None:
+    # Bidirectional(LSTM) decomposes into forward+reversed fused LSTMs
+    # plus REVERSE_V2/CONCAT — no dedicated lowering needed
+    keras.utils.set_random_seed(3)
+    m = keras.Sequential([
+        keras.layers.Input(shape=(10, 12), batch_size=1),
+        keras.layers.Bidirectional(
+            keras.layers.LSTM(14, return_sequences=True)),
+        keras.layers.Bidirectional(keras.layers.LSTM(8)),
+        keras.layers.Dense(5),
+    ])
+    data = tf.lite.TFLiteConverter.from_keras_model(m).convert()
+    out = OUT.replace("lstm_seq", "bilstm_seq")
+    with open(out, "wb") as f:
+        f.write(data)
+    print(f"wrote {out} ({len(data)} bytes)")
+
+
 if __name__ == "__main__":
     main()
+    gen_bilstm()

@@ -102,3 +102,29 @@ def test_full_int8_lstm_within_1_lsb(rng):
             np.asarray(outs[0]).astype(np.int32) - ref.astype(np.int32)
         )
         assert d.max() <= 1, (trial, d.max())
+
+
+MODEL_BI = os.path.join(DATA, "bilstm_seq.tflite")
+
+
+@pytest.mark.skipif(not os.path.exists(MODEL_BI),
+                    reason="generated model missing")
+def test_bidirectional_lstm_matches_interpreter(rng):
+    """Bidirectional(LSTM) converts to forward+reversed fused LSTMs
+    plus REVERSE_V2/CONCAT — covered by existing lowerings."""
+    g = parse_tflite_file(MODEL_BI)
+    assert g.op_histogram().get("UNIDIRECTIONAL_SEQUENCE_LSTM", 0) == 4
+    assert g.op_histogram().get("REVERSE_V2", 0) >= 2
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode="f32_split")
+    fn = jax.jit(prog.make_fn())
+    it = make_tfl_interpreter(MODEL_BI)
+    it.allocate_tensors()
+    d0 = it.get_input_details()[0]
+    x = rng.standard_normal(d0["shape"]).astype(np.float32)
+    outs = fn({k: np.asarray(v) for k, v in prog.params.items()}, [x])
+    it.set_tensor(d0["index"], x)
+    it.invoke()
+    ref = it.get_tensor(it.get_output_details()[0]["index"])
+    np.testing.assert_allclose(np.asarray(outs[0]), ref,
+                               rtol=2e-5, atol=2e-6)
