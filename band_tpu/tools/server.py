@@ -6,13 +6,14 @@ server over the engine (the reference's gRPC row was never implemented;
 grpcio-tools is not available in this image, so the wire format is
 JSON + base64 ndarray):
 
-  GET  /health              -> {"status": "ok"}
-  GET  /models              -> model table (ids, inputs, outputs)
-  POST /models              -> {"path": "/path/model.tflite"} registers
-  POST /request             -> {"model_id": 0, "inputs": [tensor...],
+  GET    /health            -> {"status": "ok"}
+  GET    /models            -> model table (ids, inputs, outputs)
+  POST   /models            -> {"path": "/path/model.tflite"} registers
+  DELETE /models/<id>       -> unregister (hot swap; safe drain)
+  POST   /request           -> {"model_id": 0, "inputs": [tensor...],
                                "slo_us": optional, "sync": true}
        tensor = {"shape": [...], "dtype": "uint8", "b64": "..."}
-  GET  /stats               -> execution counts + profiled latencies
+  GET    /stats             -> execution counts + profiled latencies
 
 Usage: python -m band_tpu.tools.server --config cfg.json --port 8500
 """
@@ -65,9 +66,23 @@ class EngineServer:
             return self._register(body or {})
         if method == "POST" and path == "/request":
             return self._request(body or {})
+        if method == "DELETE" and path.startswith("/models/"):
+            return self._unregister(path[len("/models/"):])
         if method == "GET" and path == "/stats":
             return self._stats()
         return 404, {"error": f"no route {method} {path}"}
+
+    def _unregister(self, model_id_s: str):
+        try:
+            mid = int(model_id_s)
+        except ValueError:
+            return 400, {"error": f"bad model id {model_id_s!r}"}
+        try:
+            with self._lock:
+                self.engine.unregister_model(mid)
+        except BandError as e:
+            return 404, {"error": str(e)}
+        return 200, {"unregistered": mid}
 
     def _models(self):
         out = {}
@@ -178,6 +193,13 @@ def make_handler(server: EngineServer):
                     self._send(400, {"error": "body must be a JSON object"})
                     return
                 code, payload = server.handle("POST", self.path, body)
+            except Exception as e:
+                code, payload = 500, {"error": repr(e)}
+            self._send(code, payload)
+
+        def do_DELETE(self):
+            try:
+                code, payload = server.handle("DELETE", self.path, None)
             except Exception as e:
                 code, payload = 500, {"error": repr(e)}
             self._send(code, payload)

@@ -105,3 +105,27 @@ def test_server_bad_request(server):
     status, resp = _call(f"{server}/models", "POST",
                          {"path": "/nonexistent/model.tflite"})
     assert status == 400 and "register failed" in resp["error"]
+
+
+def test_server_unregister(server, rng):
+    code, out = _call(f"{server}/models", "POST",
+                      {"path": model_path("add")})
+    assert code == 200
+    mid = out["model_id"]
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    code, out = _call(f"{server}/request", "POST",
+                      {"model_id": mid, "inputs": [encode_tensor(x)]})
+    assert code == 200
+
+    code, out = _call(f"{server}/models/{mid}", "DELETE")
+    assert code == 200 and out["unregistered"] == mid
+    code, models = _call(f"{server}/models")
+    assert str(mid) not in models and mid not in models
+    # further requests and double-unregister are clean 4xx
+    code, out = _call(f"{server}/request", "POST",
+                      {"model_id": mid, "inputs": [encode_tensor(x)]})
+    assert code == 400
+    code, out = _call(f"{server}/models/{mid}", "DELETE")
+    assert code == 404
+    code, out = _call(f"{server}/models/notanid", "DELETE")
+    assert code == 400
