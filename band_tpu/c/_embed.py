@@ -96,6 +96,10 @@ def register_model(engine: Engine, model: Model) -> int:
     return engine.register_model(model)
 
 
+def unregister_model(engine: Engine, model_id: int) -> None:
+    engine.unregister_model(model_id)
+
+
 def num_workers(engine: Engine) -> int:
     return engine.num_workers()
 

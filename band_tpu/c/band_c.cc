@@ -554,6 +554,23 @@ BandStatus BandEngineRegisterModel(BandEngine* engine, BandModel* model) {
   return kBandOk;
 }
 
+BandStatus BandEngineUnregisterModel(BandEngine* engine, BandModel* model) {
+  // extension beyond the reference C API (Engine::UnregisterModel is
+  // C++-only there, engine.cc:291-316): hot-swap with safe drain
+  if (engine == nullptr || model == nullptr || model->model_id < 0) {
+    set_error("model is not registered");
+    return kBandError;
+  }
+  Gil gil;
+  PyObject* r = call_embed(
+      "unregister_model",
+      Py_BuildValue("(Oi)", engine->engine, model->model_id));
+  if (r == nullptr) return kBandError;
+  Py_DECREF(r);
+  model->model_id = -1;
+  return kBandOk;
+}
+
 int BandEngineGetNumInputTensors(BandEngine* engine, BandModel* model) {
   if (engine == nullptr || model == nullptr || model->model_id < 0) return -1;
   Gil gil;

@@ -152,6 +152,10 @@ BandEngine* BandEngineCreate(BandConfig* config);
 BandEngine* BandEngineCreateWithDefaultConfig(void);
 void BandEngineDelete(BandEngine* engine);
 BandStatus BandEngineRegisterModel(BandEngine* engine, BandModel* model);
+/* Extension beyond the reference C API: unregister a model (hot swap).
+ * New requests fail immediately; queued jobs finish ENQUEUE_FAILED;
+ * in-flight dispatches drain before teardown. */
+BandStatus BandEngineUnregisterModel(BandEngine* engine, BandModel* model);
 int BandEngineGetNumInputTensors(BandEngine* engine, BandModel* model);
 int BandEngineGetNumOutputTensors(BandEngine* engine, BandModel* model);
 int BandEngineGetNumWorkers(BandEngine* engine);

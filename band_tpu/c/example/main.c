@@ -158,6 +158,15 @@ int main(int argc, char** argv) {
          dflt != NULL ? BandEngineGetNumWorkers(dflt) : -1);
   BandEngineDelete(dflt);
 
+  /* hot swap: unregister, then further requests must fail cleanly */
+  if (BandEngineUnregisterModel(engine, model) != kBandOk) {
+    fprintf(stderr, "unregister failed: %s\n", BandGetLastError());
+    return 1;
+  }
+  int post = BandEngineRequestSync(engine, model, &in0, &out0);
+  printf("unregistered=1 request_after_unregister_fails=%d\n",
+         post != kBandOk);
+
   BandTensorDelete(in0);
   BandTensorDelete(out0);
   BandModelDelete(model);

@@ -78,6 +78,7 @@ def test_c_api_round_trip(c_artifacts):
     assert "quant_type=0" in out  # add.tflite is float32
     assert "callbacks_after_unset=2" in out  # unset stops callbacks
     assert "default_engine=1 default_workers=1" in out  # cpu platform
+    assert "unregistered=1 request_after_unregister_fails=1" in out
     assert "C API OK" in out
 
 
