@@ -56,6 +56,10 @@ class ModelExecutor:
         self._params: Dict[SubgraphKey, Dict[str, jax.Array]] = {}
         self._eager: Dict[SubgraphKey, bool] = {}
         self._batched: Dict[SubgraphKey, Dict[int, object]] = {}
+        # concurrent prepare_subgraph calls for the same key: first
+        # caller builds, others wait on its event (no double compile /
+        # transient double weight placement)
+        self._preparing: Dict[SubgraphKey, threading.Event] = {}
 
     # ------------------------------------------------------------------
     def prepare_subgraph(
@@ -66,12 +70,28 @@ class ModelExecutor:
             worker_id=self.worker_id,
             unit_indices=frozenset(unit_indices),
         )
-        with self._lock:
-            if key in self._programs:
-                return key
+        while True:
+            with self._lock:
+                if key in self._programs:
+                    return key
+                waiter = self._preparing.get(key)
+                if waiter is None:
+                    self._preparing[key] = threading.Event()
+                    break
+            waiter.wait(timeout=600)
         has_custom = any(
             self.graph.ops[oi].is_custom for oi in op_indices
         )
+        try:
+            self._prepare_locked(key, op_indices, has_custom)
+        finally:
+            with self._lock:
+                ev = self._preparing.pop(key, None)
+            if ev is not None:
+                ev.set()
+        return key
+
+    def _prepare_locked(self, key, op_indices, has_custom) -> None:
         if has_custom and not self.host:
             raise LoweringError(
                 "custom ops can only be prepared on host workers"
@@ -106,7 +126,6 @@ class ModelExecutor:
             self._fns[key] = fn
             self._params[key] = params
             self._eager[key] = eager
-        return key
 
     def _build_custom_program(self, op_indices) -> SubgraphProgram:
         op_indices = tuple(sorted(op_indices))
@@ -135,6 +154,7 @@ class ModelExecutor:
             params=params,
             meta=meta,
             exact=self.exact,
+            conv_mode=self.conv_mode,
         )
 
     # ------------------------------------------------------------------
@@ -181,7 +201,7 @@ class ModelExecutor:
                 v if isinstance(v, jax.Array) else np.asarray(v)
                 for v in inputs
             )
-            return fn._fn(self._params[key], args)
+            return fn(args)
         # canonicalize to committed device arrays so profiling (numpy
         # zeros) and serving (staged device inputs) share one jit cache
         # entry per subgraph
@@ -202,7 +222,8 @@ class ModelExecutor:
         B = len(inputs_batch)
         if B == 1:
             return [self.execute(key, inputs_batch[0])]
-        prog = self._programs[key]
+        if key not in self._programs:
+            raise ExecutionError(f"subgraph {key} not prepared")
         if self._eager[key] or len(self.devices) > 1:
             return [self.execute(key, ins) for ins in inputs_batch]
         # bucket to the next power of two (pad with the first request) so
@@ -250,21 +271,29 @@ class ModelExecutor:
     def _execute_eager(
         self, prog: SubgraphProgram, inputs: Sequence[np.ndarray]
     ) -> List[np.ndarray]:
-        """Op-by-op host execution for subgraphs with custom ops."""
-        ctx = LowerCtx(prog.graph, prog.params, prog.meta, exact=prog.exact)
+        """Op-by-op host execution for subgraphs with custom ops.
+
+        Pinned to this (host) worker's CPU device: eager jnp ops would
+        otherwise land on the process default device (the TPU), and
+        fetching TPU arrays from a worker thread hangs some transports
+        (docs/dev-notes.md) — with CPU-backed arrays the np.asarray
+        materialization below is safe on any thread."""
+        ctx = LowerCtx(prog.graph, prog.params, prog.meta,
+                       exact=prog.exact, conv_mode=prog.conv_mode)
         for tid, v in zip(prog.input_ids, inputs):
             ctx.set(tid, np.asarray(v))
         import jax.numpy as jnp
 
-        for oi in prog.op_indices:
-            op = prog.graph.ops[oi]
-            if op.is_custom:
-                ins = [
-                    np.asarray(ctx.arr(t)) for t in op.inputs if t >= 0
-                ]
-                outs = run_host_op(op.opname, prog.graph, op, ins)
-                for tid, o in zip(op.outputs, outs):
-                    ctx.set(tid, jnp.asarray(o))
-            else:
-                get_lowering(op.opname).trace(ctx, op)
-        return [np.asarray(ctx.arr(t)) for t in prog.output_ids]
+        with jax.default_device(self.devices[0]):
+            for oi in prog.op_indices:
+                op = prog.graph.ops[oi]
+                if op.is_custom:
+                    ins = [
+                        np.asarray(ctx.arr(t)) for t in op.inputs if t >= 0
+                    ]
+                    outs = run_host_op(op.opname, prog.graph, op, ins)
+                    for tid, o in zip(op.outputs, outs):
+                        ctx.set(tid, jnp.asarray(o))
+                else:
+                    get_lowering(op.opname).trace(ctx, op)
+            return [np.asarray(ctx.arr(t)) for t in prog.output_ids]

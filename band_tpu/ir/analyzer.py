@@ -109,7 +109,17 @@ def derive_unit_subgraphs(
 
     units: List[FrozenSet[int]] = []
     while remaining:
-        seed = min(oi for oi in remaining if ready(oi))
+        ready_ops = [oi for oi in remaining if ready(oi)]
+        if not ready_ops:
+            # an op consumes a tensor nothing produces (malformed or
+            # truncated model): surface it as a model error, not an
+            # opaque min() crash
+            oi = min(remaining)
+            raise ModelError(
+                f"op {oi} ({graph.ops[oi].opname}) depends on tensors no "
+                "op produces; the graph is not executable"
+            )
+        seed = min(ready_ops)
         mask = masks[seed]
         unit: Set[int] = set()
         changed = True
@@ -126,18 +136,13 @@ def derive_unit_subgraphs(
     return units
 
 
-def _range_closed(
-    spec: ModelSpec, lo: int, hi: int
-) -> bool:
-    """True if units[lo..hi] only depend on units < lo or inside the range
-    (i.e. the merged subgraph's external inputs are producible by any
-    predecessor chain ending at lo-1; reference merge validity check,
-    model_analyzer.cc:799-883)."""
-    for u in range(lo, hi + 1):
-        for d in spec.unit_dependencies[u]:
-            if d >= lo and not (lo <= d <= hi):
-                return False
-    return True
+# Merge validity (the reference's closure check, model_analyzer.cc:
+# 799-883) holds by construction here: derive_unit_subgraphs only emits
+# an op once its producers are absorbed, so every unit dependency points
+# to a strictly EARLIER unit — any contiguous range [lo..hi] therefore
+# only depends on units < lo or inside the range.  The invariant is
+# asserted once per model in build_model_spec rather than re-scanned per
+# candidate range.
 
 
 class ModelAnalyzer:
@@ -221,8 +226,6 @@ class ModelAnalyzer:
                     if hi not in supported:
                         break
                     ops |= self.spec.unit_subgraph_ops[hi]
-                    if not _range_closed(self.spec, lo, hi):
-                        continue
                     small = (
                         len(ops) < self.config.minimum_subgraph_size
                         and not (lo == 0 and hi == num_units - 1)
@@ -241,10 +244,14 @@ class ModelAnalyzer:
         return defs
 
     def _fallback_per_worker(self) -> List[SubgraphDef]:
-        """Alternate device/host segments per worker around unsupported
-        ops (reference: GetSubgraphsForFallbackOps,
-        model_analyzer.cc:627-789).  Device segments run on the worker;
-        the unsupported remainder is emitted as unit-subgraphs so host
-        workers pick them up."""
-        defs = list(self._merged_units())
-        return defs
+        """FALLBACK_PER_WORKER resolves to the merged-unit machinery.
+
+        The reference's GetSubgraphsForFallbackOps
+        (model_analyzer.cc:627-789) emits, per worker, alternating
+        device/CPU segments around that worker's unsupported ops.  Here
+        units are by construction the maximal support-equivalent op
+        groups, so the merged contiguous unit ranges per worker ARE
+        exactly those segments (a worker's supported stretch between two
+        unsupported units is one merged range; the unsupported stretch
+        is the host workers' range) — one mechanism covers both modes."""
+        return list(self._merged_units())

@@ -93,4 +93,12 @@ def compute_unit_dependencies(
             if not extra <= deps[ui]:
                 deps[ui] |= extra
                 changed = True
+    # topological invariant the merge machinery relies on: every
+    # dependency points to a strictly earlier unit (derive_unit_subgraphs
+    # only emits an op once its producers are absorbed), so any
+    # contiguous unit range is closed under its dependencies
+    for ui, d in enumerate(deps):
+        assert all(x < ui for x in d), (
+            f"unit {ui} depends on a later unit: {sorted(d)}"
+        )
     return [frozenset(d) for d in deps]
