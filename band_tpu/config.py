@@ -120,6 +120,12 @@ class WorkerSpec:
     # pool is process-global so this is informational (the operative
     # per-worker control is cpu_mask on the dispatch thread).
     num_threads: int = 1
+    # failure detection: if one dispatch (input copy + launch) blocks
+    # longer than this, the engine watchdog quarantines the worker —
+    # its stuck jobs fail so requesters unblock, queued jobs go back to
+    # the planner, and schedulers route around it (beyond-reference:
+    # the reference only handles *returned* device errors).  0 = off.
+    stuck_timeout_ms: int = 0
 
     def validate(self) -> None:
         if not self.device_ids:
@@ -373,6 +379,7 @@ def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
         max_batch=int(entry.get("max_batch", 1)),
         cpu_mask=str(entry.get("cpu_masks", entry.get("cpu_mask", ""))),
         num_threads=int(entry.get("num_threads", 1)),
+        stuck_timeout_ms=int(entry.get("stuck_timeout_ms", 0)),
     )
 
 

@@ -182,12 +182,50 @@ class Engine(EngineBase):
 
         self.planner = Planner(self, config.planner)
 
+        # failure-detection watchdog: quarantine workers wedged inside
+        # one dispatch (e.g. a hung device transfer, docs/dev-notes.md
+        # item 10) so requesters unblock and traffic reroutes
+        self._watchdog_stop = threading.Event()
+        self._watchdog_thread = None
+        if any(s.stuck_timeout_ms > 0 for s in config.worker.workers):
+            self._watchdog_thread = threading.Thread(
+                target=self._watchdog, name="band-watchdog", daemon=True
+            )
+            self._watchdog_thread.start()
+
     # ------------------------------------------------------------------
     @staticmethod
     def create(config: RuntimeConfig) -> "Engine":
         return Engine(config)
 
+    def _watchdog(self) -> None:
+        from ..tracing.logger import log_error
+
+        specs = self.config.worker.workers
+        period = min(
+            max(s.stuck_timeout_ms for s in specs) / 4000.0, 2.0
+        )
+        while not self._watchdog_stop.wait(max(period, 0.05)):
+            for w, spec in zip(self.workers, specs):
+                if spec.stuck_timeout_ms <= 0 or w._quarantined:
+                    continue
+                busy_ms = w.busy_for() * 1000.0
+                if busy_ms > spec.stuck_timeout_ms:
+                    log_error(
+                        "worker %d stuck in one dispatch for %.0f ms "
+                        "(> %d ms); quarantining — its jobs fail, queued "
+                        "work reschedules, traffic reroutes",
+                        w.worker_id, busy_ms, spec.stuck_timeout_ms,
+                    )
+                    requeue = w.quarantine()
+                    if requeue:
+                        self.enqueue_batch(requeue, push_front=True)
+                    self.planner.trigger()
+
     def shutdown(self) -> None:
+        self._watchdog_stop.set()
+        if self._watchdog_thread is not None:
+            self._watchdog_thread.join(timeout=5)
         self.planner.stop()
         for w in self.workers:
             w.stop()

@@ -55,6 +55,11 @@ class Worker:
         self._processing = False
         # jobs dispatched but not yet retired (waiting-time estimates)
         self._inflight_jobs: List[Job] = []
+        # monotonic stamp while a dispatch (input copy + launch) or a
+        # retirement is executing; the engine watchdog quarantines the
+        # worker if one blocks past spec.stuck_timeout_ms
+        self._busy_since: Optional[float] = None
+        self._quarantined = False
 
     def _max_depth(self) -> int:
         return self.spec.dispatch_depth
@@ -97,9 +102,35 @@ class Worker:
     def is_available(self) -> bool:
         return (
             self._available
+            and not self._quarantined
             and not self._resource_throttled
             and time.monotonic() >= self._throttling_until
         )
+
+    # --- failure detection (engine watchdog) ---
+    def busy_for(self) -> float:
+        """Seconds the current dispatch/retirement has been executing
+        (0 when between work units)."""
+        t0 = self._busy_since
+        return 0.0 if t0 is None else time.monotonic() - t0
+
+    def quarantine(self) -> List[Job]:
+        """Permanently sideline a wedged worker: fail its in-flight
+        jobs so requesters unblock, hand queued jobs back for
+        rescheduling, and report unavailable to every scheduler.  The
+        wedged thread may revive later; retirement guards
+        (_fail_jobs/_complete status checks) keep it from
+        double-finishing anything."""
+        self._quarantined = True
+        requeue = self._requeue_all()
+        with self._cv:
+            inflight = list(self._inflight_jobs)
+        self._fail_jobs(inflight)
+        for j in requeue:
+            j.subgraph_key = type(j.subgraph_key)()  # reassign elsewhere
+            j.status = JobStatus.QUEUED
+            j.invoke_time = 0
+        return requeue
 
     def set_resource_throttled(self, throttled: bool) -> None:
         if throttled != self._resource_throttled:
@@ -175,6 +206,7 @@ class Worker:
                 if jobs or inflight:
                     self._processing = True
             try:
+                self._busy_since = time.monotonic()
                 if jobs:
                     rec = self._dispatch(jobs)
                     if rec is not None:
@@ -197,6 +229,7 @@ class Worker:
                     failed_jobs, _ = inflight.popleft()
                     self._fail_jobs(failed_jobs)
             finally:
+                self._busy_since = None
                 with self._idle_cv:
                     self._processing = bool(inflight)
                     self._idle_cv.notify_all()
@@ -317,6 +350,10 @@ class Worker:
         self._drop_inflight(jobs)
 
     def _complete(self, job: Job, outputs) -> None:
+        if job.status != JobStatus.QUEUED or job.retired:
+            # already decided elsewhere (e.g. quarantine failed it while
+            # this thread was wedged in a transfer): don't double-finish
+            return
         try:
             if job.following_jobs:
                 # pipeline continuation: hand boundary activations to the
@@ -483,7 +520,15 @@ class GlobalQueueWorker(Worker):
         return list(self._batch)
 
     def _requeue_all(self) -> List[Job]:
-        return []
+        # an accepted-but-not-started batch can still be rescheduled
+        # elsewhere; a started batch is in _inflight_jobs (the
+        # quarantine fail path covers it)
+        with self._cv:
+            if self._started or not self._batch:
+                return []
+            jobs = list(self._batch)
+            self._batch = []
+        return jobs
 
     def _max_depth(self) -> int:
         return 1  # single in-flight dispatch by definition

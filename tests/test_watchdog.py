@@ -1,0 +1,93 @@
+"""Dispatch watchdog: a worker wedged inside one dispatch (the analogue
+of a hung device transfer, docs/dev-notes.md item 10) is quarantined —
+its stuck jobs fail so requesters unblock, and traffic reroutes to the
+remaining workers.  Beyond-reference failure detection (the reference
+only reacts to *returned* device errors, worker.cc:101-110)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import band_tpu as bt
+
+ADD = "/root/reference/band/test/data/add.tflite"
+
+
+def make_engine(stuck_ms: int):
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.SHORTEST_EXPECTED_LATENCY)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,),
+                                  stuck_timeout_ms=stuck_ms))
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(1,),
+                                  stuck_timeout_ms=stuck_ms))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    return bt.Engine.create(cfg)
+
+
+def test_wedged_worker_is_quarantined_and_traffic_reroutes():
+    eng = make_engine(stuck_ms=300)
+    try:
+        mid = eng.register_model(bt.Model.from_path(ADD))
+        x = np.full((1, 8, 8, 3), 2.0, np.float32)
+        # sanity: both workers serve
+        np.testing.assert_allclose(eng.request_sync(mid, [x])[0], x * 3.0)
+
+        # wedge worker 0's next dispatch (simulates a hung transfer)
+        w0 = eng.workers[0]
+        blocker = threading.Event()
+        orig = w0._dispatch
+
+        def wedged(jobs):
+            blocker.wait(30.0)
+            return orig(jobs)
+
+        w0._dispatch = wedged
+        # a burst: some land on worker 0 and wedge there; the watchdog
+        # must fail the stuck dispatch, reschedule the rest onto the
+        # surviving worker, and quarantine worker 0 — nobody hangs
+        jids = [eng.request_async(mid, [x]) for _ in range(12)]
+        st = eng.wait_all(jids, timeout=20)
+        assert len(st) == len(jids), "some jobs never finished"
+        assert w0._quarantined and not w0.is_available()
+        failed = [j for j, s in st.items()
+                  if s == bt.JobStatus.INVOKE_FAILURE]
+        ok = [j for j, s in st.items() if s == bt.JobStatus.SUCCESS]
+        assert failed, st  # the wedged dispatch itself
+        assert len(failed) + len(ok) == len(jids), st
+
+        # new traffic reroutes to the surviving worker
+        out = eng.request_sync(mid, [x], timeout=20)
+        np.testing.assert_allclose(out[0], x * 3.0)
+        assert not eng.workers[1]._quarantined
+
+        # the wedged thread revives later; guarded retirement must not
+        # flip the failed jobs' records
+        blocker.set()
+        time.sleep(0.5)
+        for j in failed:
+            assert (
+                eng.planner.get_finished_job(j).status
+                == bt.JobStatus.INVOKE_FAILURE
+            )
+    finally:
+        blocker.set()
+        eng.shutdown()
+
+
+def test_watchdog_leaves_healthy_workers_alone():
+    eng = make_engine(stuck_ms=400)
+    try:
+        mid = eng.register_model(bt.Model.from_path(ADD))
+        x = np.full((1, 8, 8, 3), 1.0, np.float32)
+        for _ in range(20):
+            eng.request_sync(mid, [x], timeout=20)
+        time.sleep(1.0)  # several watchdog periods
+        assert all(not w._quarantined for w in eng.workers)
+    finally:
+        eng.shutdown()
