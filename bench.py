@@ -84,9 +84,12 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
         .profile_runs(3)
     )
     for _ in range(max(N_WORKERS, 1)):
+        # watchdog: if the tunneled transport wedges one dispatch, fail
+        # those requests and keep measuring instead of losing the run
         b.add_worker(bt.WorkerSpec(device=flag, device_ids=(0,),
                                    max_batch=MAX_BATCH,
-                                   dispatch_depth=DEPTH))
+                                   dispatch_depth=DEPTH,
+                                   stuck_timeout_ms=120_000))
     cfg = b.build()
     eng = bt.Engine.create(cfg)
     rng = np.random.default_rng(0)
