@@ -2387,3 +2387,19 @@ def _if(ctx: LowerCtx, op: OpNode) -> None:
     )
     for tid, v in zip(op.outputs, outs):
         ctx.set(tid, v)
+
+
+@register("SCATTER_ND", static_inputs=(2,))
+def _scatter_nd(ctx: LowerCtx, op: OpNode) -> None:
+    """TFLite SCATTER_ND: zeros(shape) scattered with updates at indices
+    (overlapping indices sum, matching the TF op)."""
+    idx_td = ctx.graph.tensor(op.inputs[0])
+    indices = (
+        jnp.asarray(idx_td.data) if idx_td.is_constant
+        else ctx.arr(op.inputs[0])
+    )
+    updates = ctx.arr(op.inputs[1])
+    shape = [int(v) for v in ctx.static(op.inputs[2])]
+    out = jnp.zeros(shape, updates.dtype)
+    ctx.set(op.outputs[0],
+            out.at[tuple(jnp.moveaxis(indices, -1, 0))].add(updates))

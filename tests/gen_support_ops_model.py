@@ -61,6 +61,9 @@ class M(tf.Module):
         values, indices = tf.math.top_k(a, k=2)
         outs["topk_values"] = values
         outs["topk_indices"] = indices
+        sc_idx = tf.constant([[0], [2], [5]], tf.int32)
+        outs["scatter_nd"] = tf.scatter_nd(
+            sc_idx, a[0, :3, :, 0], [8, 6])
         return outs
 
 
