@@ -260,7 +260,11 @@ def buffer_from_raw(data: bytes, width: int, height: int, fmt: int):
         return Buffer.from_numpy(a[: w * h * 3].reshape(h, w, 3).copy(), f)
     if f == BufferFormat.RGBA:
         return Buffer.from_numpy(a[: w * h * 4].reshape(h, w, 4).copy(), f)
-    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if w % 2 or h % 2:
+        raise ValueError(
+            "YUV buffers require even width/height (4:2:0 subsampling)"
+        )
+    ch, cw = h // 2, w // 2
     y = a[: w * h].reshape(h, w).copy()
     rest = a[w * h:]
     if f in (BufferFormat.NV12, BufferFormat.NV21):
@@ -282,17 +286,29 @@ def buffer_from_yuv(y: bytes, u: bytes, v: bytes, width: int, height: int,
 
     f = _c_buffer_format(fmt)
     w, h = int(width), int(height)
-    ch, cw = (h + 1) // 2, (w + 1) // 2
-    y_arr = (np.frombuffer(y, np.uint8)
-             .reshape(h, int(row_stride_y))[:, :w].copy())
+    if w % 2 or h % 2:
+        raise ValueError(
+            "YUV buffers require even width/height (4:2:0 subsampling)"
+        )
+    ch, cw = h // 2, w // 2
+
+    def rows(raw: bytes, n_rows: int, stride: int, row_width: int):
+        # tolerate an unpadded final row (stride*(n-1)+row_width bytes)
+        a = np.frombuffer(raw, np.uint8)
+        out = np.empty((n_rows, row_width), np.uint8)
+        for r in range(n_rows):
+            out[r] = a[r * stride: r * stride + row_width]
+        return out
+
+    y_arr = rows(y, h, int(row_stride_y), w)
     if f in (BufferFormat.NV12, BufferFormat.NV21):
-        uv = (np.frombuffer(u, np.uint8)
-              .reshape(ch, int(row_stride_uv))[:, :w].copy())
+        uv = rows(u, ch, int(row_stride_uv), w)
         return Buffer.from_yuv(y_arr, uv, None, f)
 
     def plane(raw: bytes) -> np.ndarray:
-        p = np.frombuffer(raw, np.uint8).reshape(ch, int(row_stride_uv))
-        return p[:, ::int(pixel_stride_uv)][:, :cw].copy()
+        ps = int(pixel_stride_uv)
+        p = rows(raw, ch, int(row_stride_uv), (cw - 1) * ps + 1)
+        return np.ascontiguousarray(p[:, ::ps][:, :cw])
 
     u_arr, v_arr = plane(u), plane(v)
     # from_yuv stores planes in memory order: YV21/I420 is U-then-V,

@@ -810,8 +810,13 @@ BandStatus BandBufferSetFromYUVData(BandBuffer* buffer, const void* y_data,
     return kBandError;
   }
   size_t ch = (height + 1) / 2;
-  size_t y_bytes = row_stride_y * height;
-  size_t uv_bytes = row_stride_uv * ch;
+  size_t cw = (width + 1) / 2;
+  // copy only the true extent of each plane: camera buffers commonly
+  // leave the LAST row unpadded (size = stride*(rows-1) + row_width),
+  // so reading stride*rows would run past the caller's allocation
+  size_t y_bytes = row_stride_y * (height - 1) + width;
+  size_t uv_row = semiplanar ? width : ((cw - 1) * pixel_stride_uv + 1);
+  size_t uv_bytes = row_stride_uv * (ch - 1) + uv_row;
   Gil gil;
   const char* v_ptr =
       v_data != nullptr ? reinterpret_cast<const char*>(v_data) : "";

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..common import DeviceFlag, JobStatus, RequestOption, now_us
+from ..common import DeviceFlag, JobStatus, RequestOption
 from ..config import RuntimeConfig, config_from_dict
 from ..errors import ConfigError
 from ..ir.model import Model
@@ -98,6 +98,7 @@ class BenchmarkConfig:
 class _ModelStats:
     latencies_us: List[int] = field(default_factory=list)
     canceled: int = 0
+    slo_dropped: int = 0  # subset of canceled: planner SLO early-drops
 
 
 class Benchmark:
@@ -157,7 +158,7 @@ class Benchmark:
             self._run_workload()
         return self.report()
 
-    def _record(self, mid: int, job_ids: List[int], t_enqueue_us: int):
+    def _record(self, mid: int, job_ids: List[int]):
         statuses = self.engine.wait_all(job_ids, timeout=120)
         for jid in job_ids:
             status = statuses.get(jid)
@@ -168,10 +169,14 @@ class Benchmark:
                 )
             else:
                 self.stats[mid].canceled += 1
+                if status == JobStatus.SLO_VIOLATION:
+                    self.stats[mid].slo_dropped += 1
 
     def _run_periodic(self) -> None:
-        """Thread per model firing every period_ms
-        (reference: benchmark.cc:417-457)."""
+        """Thread per model: blocking request, then sleep out the rest
+        of the period — the reference's exact closed-loop semantics
+        (benchmark.cc:417-445: RequestSync, then sleep(period -
+        elapsed)); the effective rate is min(1/period, 1/latency)."""
         stop = threading.Event()
 
         def loop(idx: int):
@@ -185,7 +190,7 @@ class Benchmark:
                     [self.inputs[idx]] * mc.batch_size,
                     [self.options[idx]] * mc.batch_size,
                 )
-                self._record(mid, ids, now_us())
+                self._record(mid, ids)
                 dt = time.perf_counter() - t0
                 if dt < period:
                     stop.wait(period - dt)
@@ -216,7 +221,7 @@ class Benchmark:
                 )
                 batch_ids.append(ids)
             for mid, ids in zip(self.model_ids, batch_ids):
-                self._record(mid, ids, now_us())
+                self._record(mid, ids)
 
     def _run_workload(self) -> None:
         """Trace-driven mode: fire each request at its trace timestamp
@@ -240,7 +245,7 @@ class Benchmark:
             )
             pending.append((mid, ids))
         for mid, ids in pending:
-            self._record(mid, ids, now_us())
+            self._record(mid, ids)
 
     # ------------------------------------------------------------------
     def report(self) -> Dict:
@@ -268,7 +273,16 @@ class Benchmark:
                     )
                 if slo > 0:
                     entry["slo_us"] = slo
+                    # reference semantics: over non-canceled requests
+                    # (benchmark.cc:547-562 — planner-dropped jobs are
+                    # canceled there too); the stricter rate below also
+                    # charges SLO-dropped jobs
                     entry["slo_satisfaction"] = float((lat < slo).mean())
+                    met = int((lat < slo).sum())
+                    denom = n_ok + st.slo_dropped
+                    entry["slo_satisfaction_incl_dropped"] = (
+                        met / denom if denom else 1.0
+                    )
             out[f"model_{idx}"] = entry
         all_lat = [
             l for st in self.stats.values() for l in st.latencies_us

@@ -24,17 +24,31 @@ import itertools
 import json
 import sys
 import threading
+import time
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
 
 
 class Backend:
+    RETRY_AFTER_S = 10.0  # cooldown before an unhealthy backend is retried
+
     def __init__(self, url: str):
         self.url = url.rstrip("/")
         self.inflight = 0
-        self.healthy = True
+        self._unhealthy_since: Optional[float] = None
         self.lock = threading.Lock()
+
+    @property
+    def healthy(self) -> bool:
+        # a failure sidelines the backend only for a cooldown window;
+        # the next pick after that re-probes it (transient timeouts must
+        # not evict a replica forever)
+        t0 = self._unhealthy_since
+        return t0 is None or (time.monotonic() - t0) > self.RETRY_AFTER_S
+
+    def mark_healthy(self) -> None:
+        self._unhealthy_since = None
 
     def call(self, method: str, path: str, body: Optional[dict],
              timeout: float = 120.0) -> Tuple[int, dict]:
@@ -44,11 +58,20 @@ class Backend:
         req.add_header("Content-Type", "application/json")
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
-                return resp.status, json.loads(resp.read())
+                payload = resp.read()
+                self.mark_healthy()
+                return resp.status, json.loads(payload)
         except urllib.error.HTTPError as e:
-            return e.code, json.loads(e.read() or b"{}")
+            # an HTTP error is still a live backend; tolerate non-JSON
+            # bodies (proxies answer with HTML)
+            raw = e.read() or b"{}"
+            try:
+                payload = json.loads(raw)
+            except json.JSONDecodeError:
+                payload = {"error": raw.decode("utf-8", "replace")[:500]}
+            return e.code, payload
         except Exception as e:
-            self.healthy = False
+            self._unhealthy_since = time.monotonic()
             return 502, {"error": f"backend {self.url} unreachable: {e}"}
 
 
@@ -141,7 +164,8 @@ class Router:
     def health(self) -> Tuple[int, dict]:
         for b in self.backends:
             code, _ = b.call("GET", "/health", None, timeout=5)
-            b.healthy = code == 200
+            if code == 200:
+                b.mark_healthy()  # call() already marked failures
         return 200, {
             "healthy": [b.url for b in self.backends if b.healthy],
             "unhealthy": [b.url for b in self.backends if not b.healthy],
@@ -167,8 +191,15 @@ def make_handler(router: Router):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", "0"))
-            body = json.loads(self.rfile.read(n) or b"{}")
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send(400, {"error": f"invalid JSON: {e}"})
+                return
+            if not isinstance(body, dict):
+                self._send(400, {"error": "body must be a JSON object"})
+                return
             if self.path == "/models":
                 self._send(*router.register(body))
             elif self.path == "/request":

@@ -66,11 +66,31 @@ class EngineServer:
             return self._register(body or {})
         if method == "POST" and path == "/request":
             return self._request(body or {})
+        if method == "POST" and path == "/wait":
+            return self._wait(body or {})
         if method == "DELETE" and path.startswith("/models/"):
             return self._unregister(path[len("/models/"):])
         if method == "GET" and path == "/stats":
             return self._stats()
         return 404, {"error": f"no route {method} {path}"}
+
+    def _wait(self, body: dict):
+        """Fetch an async request's outputs: {"job_id": N, "timeout": s}."""
+        try:
+            jid = int(body["job_id"])
+        except (KeyError, ValueError, TypeError) as e:
+            return 400, {"error": f"bad request: {e}"}
+        try:
+            outs = self.engine.wait(
+                jid, timeout=float(body.get("timeout", 60))
+            )
+        except TimeoutError:
+            return 504, {"error": "timeout"}
+        except DeadlineExceeded:
+            return 504, {"error": "slo_violation"}
+        except (BandError, ValueError, TypeError) as e:
+            return 400, {"error": str(e)}
+        return 200, {"outputs": [encode_tensor(o) for o in outs]}
 
     def _unregister(self, model_id_s: str):
         try:
@@ -86,7 +106,11 @@ class EngineServer:
 
     def _models(self):
         out = {}
-        for mid, rec in self.engine._models.items():
+        # snapshot under the server lock: register/unregister on other
+        # handler threads mutate the dict mid-iteration otherwise
+        with self._lock:
+            records = list(self.engine._models.items())
+        for mid, rec in records:
             g = rec.model.graph
             out[mid] = {
                 "name": rec.model.name,
@@ -137,8 +161,11 @@ class EngineServer:
             target_worker=int(body.get("target_worker", -1)),
         )
         if not body.get("sync", True):
-            jid = self.engine.request_async(mid, inputs, option)
-            return 200, {"job_id": jid}
+            try:
+                jid = self.engine.request_async(mid, inputs, option)
+            except (BandError, ValueError, TypeError) as e:
+                return 400, {"error": str(e)}
+            return 200, {"job_id": jid}  # fetch via POST /wait
         try:
             outs = self.engine.request_sync(
                 mid, inputs, option, timeout=float(body.get("timeout", 60))
@@ -152,7 +179,9 @@ class EngineServer:
     def _stats(self):
         counts = self.engine.get_model_execution_counts()
         latency = {}
-        for mid, rec in self.engine._models.items():
+        with self._lock:
+            records = list(self.engine._models.items())
+        for mid, rec in records:
             latency[mid] = {
                 str(k): self.engine.get_expected_latency(k)
                 for k in rec.subgraph_keys
