@@ -13,6 +13,8 @@ JSON + base64 ndarray):
   POST   /request           -> {"model_id": 0, "inputs": [tensor...],
                                "slo_us": optional, "sync": true}
        tensor = {"shape": [...], "dtype": "uint8", "b64": "..."}
+  POST   /wait              -> {"job_id": N, "timeout": s} fetches an
+                               async request's outputs
   GET    /stats             -> execution counts + profiled latencies
 
 Usage: python -m band_tpu.tools.server --config cfg.json --port 8500
