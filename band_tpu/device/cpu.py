@@ -126,7 +126,12 @@ def _masks() -> Dict[CPUMaskFlag, CpuSet]:
         all_set = CpuSet(range(n))
         little, big, primary = CpuSet(), CpuSet(), CpuSet()
         freqs = [_max_freq_khz(i) for i in range(n)]
-        fmax, fmin = max(freqs), min(freqs)
+        fmax = max(freqs)
+        # cores with unreadable frequency (-1, e.g. missing cpufreq sysfs
+        # in a container) count as fast, not LITTLE — a homogeneous host
+        # with one unreadable core must not grow a phantom little cluster
+        freqs = [fmax if f < 0 else f for f in freqs]
+        fmin = min(freqs)
         medium = (fmin + fmax) // 2
         if medium == fmax:
             # homogeneous (or frequencies unreadable): every core is big

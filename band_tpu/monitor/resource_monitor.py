@@ -56,6 +56,9 @@ class ResourceMonitor:
 
     # ------------------------------------------------------------------
     def start(self) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            return  # already polling; no duplicate threads
+        self._stop.clear()  # restartable after stop()
         self._thread = threading.Thread(
             target=self._loop, name="band-resource-monitor", daemon=True
         )
@@ -76,10 +79,13 @@ class ResourceMonitor:
     # ------------------------------------------------------------------
     def _collect(self) -> StatusMap:
         out: StatusMap = {"ts": time.time()}
-        for i, p in enumerate(self._thermal_zones):
+        for p in self._thermal_zones:
+            # label by the real zone number (lexicographic glob order
+            # would misnumber zone10 vs zone2 on hosts with >9 zones)
+            zone = p.split("/")[-2][len("thermal_zone"):]
             v = _read_float(p)
             if v is not None:
-                out[f"thermal_zone{i}_mC"] = v
+                out[f"thermal_zone{zone}_mC"] = v
         for p in self._cpufreq:
             cpu = p.split("/")[5]
             v = _read_float(p)

@@ -44,7 +44,7 @@ def initialize(cfg: Optional[DistributedConfig] = None) -> bool:
     if not cfg.enabled:
         return jax.process_count() > 1
     if _initialized:
-        return True
+        return jax.process_count() > 1
     kwargs = {}
     if cfg.coordinator_address:
         kwargs["coordinator_address"] = cfg.coordinator_address

@@ -85,7 +85,8 @@ class ShardedProgram:
             if np.issubdtype(dtype, np.integer):
                 info = np.iinfo(dtype)
                 out.append(
-                    rng.integers(info.min, info.max + 1, shape).astype(dtype)
+                    rng.integers(info.min, info.max, shape, dtype=dtype,
+                                 endpoint=True)
                 )
             else:
                 out.append(rng.standard_normal(shape).astype(dtype))

@@ -45,7 +45,9 @@ def param_shardings(
     """NamedSharding per program param.  Channel dims not divisible by
     the axis size fall back to replication (GSPMD would pad, but
     replication keeps requant params aligned with kernel shards)."""
-    tp_size = mesh.shape[tp_axis] if tp_axis in mesh.axis_names else 1
+    if tp_axis not in mesh.axis_names:
+        tp_axis = None  # no tensor-parallel axis: replicate everything
+    tp_size = mesh.shape[tp_axis] if tp_axis is not None else 1
     out = {}
     for name, arr in prog.params.items():
         spec = _param_spec(prog, name, np.asarray(arr), tp_axis)

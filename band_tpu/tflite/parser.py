@@ -189,7 +189,9 @@ def _argmin_options(t: Table) -> Dict[str, Any]:
 
 
 def _one_hot_options(t: Table) -> Dict[str, Any]:
-    return {"axis": t.i32(0, -1)}
+    # the flatbuffer wire default is 0 (field omitted when axis == 0);
+    # the op-semantic default -1 is what the CONVERTER writes explicitly
+    return {"axis": t.i32(0, 0)}
 
 
 def _cumsum_options(t: Table) -> Dict[str, Any]:
@@ -272,6 +274,16 @@ def _decode_custom_options(raw: bytes) -> Dict[str, Any]:
 
         decoded = flexbuffers.Loads(bytes(raw))
         return decoded if isinstance(decoded, dict) else {"_custom": decoded}
+    except ImportError:
+        from ..tracing.logger import Logger, LogSeverity
+
+        Logger.get().log_once(
+            "no-flexbuffers", LogSeverity.WARNING,
+            "flatbuffers package unavailable: custom-op options (e.g. "
+            "detection post-process NMS thresholds) fall back to kernel "
+            "defaults",
+        )
+        return {}
     except Exception:
         return {}
 
@@ -358,6 +370,15 @@ def parse_tflite(
             data_arr = np.full(shape, zp, dt)
         elif buf_idx and buf_idx < len(buffers):
             raw = buffers[buf_idx].bytes_vector(S.BufferF.DATA)
+            if not raw:
+                # buffer-offset placement (TF >= 2.13
+                # _experimental_use_buffer_offset, mandatory for >2GB
+                # models): weights live at (offset, size) in the file
+                # bytes, outside the flatbuffer tree
+                off = buffers[buf_idx].u64(S.BufferF.OFFSET, 0)
+                size = buffers[buf_idx].u64(S.BufferF.SIZE, 0)
+                if off > 1 and size > 0:  # offset 1 is the sentinel
+                    raw = data[off: off + size]
             if raw:
                 from ..ir.graph import numpy_dtype
 
