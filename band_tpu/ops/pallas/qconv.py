@@ -75,7 +75,11 @@ def pick_tile_h(oh: int, ow: int, kh: int, kw: int, ci: int,
     """Largest divisor of OH whose band fits the VMEM budget (None if
     even a single row does not fit)."""
     k = kh * kw * ci
-    toc = min(oc, 512)
+    # mirror the grid's actual channel tile (qconv2d_exact below): oc not
+    # divisible by a standard tile runs with toc = oc, so budget for it
+    toc = oc if oc <= 512 else next(
+        t for t in (512, 256, 128, oc) if oc % t == 0
+    )
     oww = _round_up(ow, 32)
     for th in sorted((d for d in range(1, oh + 1) if oh % d == 0),
                      reverse=True):

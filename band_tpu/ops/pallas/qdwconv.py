@@ -44,7 +44,7 @@ def _vmem_estimate(th: int, kh: int, kw: int, wpc: int, owc: int) -> int:
     band = (th + kh - 1) * wpc          # int8 input band
     acc = 4 * th * owc                  # int32 accumulator
     tap = 4 * th * owc                  # int32 shifted view
-    consts = 4 * 3 * owc + kh * kw * owc
+    consts = 4 * 3 * owc + 4 * kh * kw * owc  # per-tap weights are int32
     return band + acc + tap + consts + th * owc
 
 

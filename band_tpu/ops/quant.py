@@ -36,6 +36,11 @@ def quantize_multiplier(m: float) -> Tuple[int, int]:
     if q == (1 << 31):
         q //= 2
         exp += 1
+    if exp < -31:
+        # TFLite QuantizeMultiplier clamp: the multiplier underflows the
+        # fixed-point range entirely (quantized_util.cc) — downstream
+        # shift logic would otherwise shift by >= 32 (undefined)
+        return 0, 0
     return q, exp
 
 
@@ -158,11 +163,16 @@ def multiply_by_quantized_multiplier(
     high = _srdhm(shifted, qm)
     if rounding == "ruy":
         # ruy's rounding right shift: floor((x + 2^(e-1)) >> e), i.e. round
-        # half UP — this is what cpu_backend_gemm-based conv kernels do
+        # half UP — this is what cpu_backend_gemm-based conv kernels do.
+        # Computed as (x >> e) + ((x_low + half) >> e) so a near-saturated
+        # positive x cannot wrap int32 (hardware vrshlq rounds exactly;
+        # the naive x + half would flip sign at the top of the range)
         half = jnp.where(right > 0,
                          jnp.int32(1) << jnp.maximum(right - 1, 0),
                          jnp.int32(0))
-        return (high + half) >> right
+        mask = (jnp.int32(1) << right) - jnp.int32(1)
+        carry = ((high & mask) + half) >> right
+        return (high >> right) + carry
     return _rounding_divide_by_pot(high, right)
 
 
@@ -215,8 +225,13 @@ def activation_range(
     (reference semantics: tflite CalculateActivationRangeQuantized)."""
     qmin, qmax = quantized_range(dtype)
 
-    def quantize(v: float, round_fn=round) -> int:
-        return int(zero_point + round_fn(v / scale))
+    def quantize(v: float) -> int:
+        # TfLiteRound = half away from zero (kernel_util.cc); Python's
+        # round() is half-to-even and differs on exact ties
+        import math
+
+        r = v / scale
+        return int(zero_point + math.floor(abs(r) + 0.5) * (1 if r >= 0 else -1))
 
     if activation == "RELU":
         qmin = max(qmin, quantize(0.0))
@@ -245,6 +260,10 @@ def dequantize(q: jnp.ndarray, scale, zero_point) -> jnp.ndarray:
 
 
 def quantize(x: jnp.ndarray, scale, zero_point, dtype) -> jnp.ndarray:
+    # deliberately round-half-EVEN: TFLite's own QUANTIZE kernel mixes a
+    # half-even SIMD main loop with a half-away scalar tail (its two
+    # halves disagree with each other on ties, docs/dev-notes.md item 9);
+    # half-even matches the main loop and maximizes byte agreement
     qmin, qmax = quantized_range(np.dtype(dtype))
     q = jnp.round(x / jnp.asarray(scale, jnp.float32)).astype(jnp.int32) + (
         jnp.asarray(zero_point, jnp.int32)

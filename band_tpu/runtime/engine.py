@@ -818,11 +818,13 @@ class Engine(EngineBase):
                 val = job.activations[tid]
                 if isinstance(val, StagedInput):
                     val = val.for_device(device)
-                elif (
+                if (
                     isinstance(val, jax.Array)
                     and getattr(val, "sharding", None) is not None
                     and val.sharding.device_set != {device}
                 ):
+                    # staged-on-another-device or previous-hop arrays:
+                    # commit to this worker's device
                     val = jax.device_put(val, device)
                 inputs.append(val)
             elif tid in graph_inputs:

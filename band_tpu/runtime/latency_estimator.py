@@ -44,7 +44,6 @@ class LatencyEstimator:
         self._hash = config_hash
         self._db: Dict[SubgraphKey, LatencyRecord] = {}
         self._lock = threading.Lock()
-        self._model_names: Dict[int, str] = {}
         # write-through slots into the native planner's flat expected-
         # latency arrays (runtime/native.PlanTables), so scheduler-time
         # DP calls marshal nothing per key

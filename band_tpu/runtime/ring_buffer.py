@@ -41,24 +41,32 @@ class TensorRingBuffer:
             self._head += 1
             return handle
 
-    def _slot(self, handle: int) -> Dict[int, np.ndarray]:
-        with self._lock:
-            if handle < 0 or handle >= self._head or handle < self._head - self._size:
-                raise NotFound(f"ring handle {handle} out of validity window")
-        return self._slots[handle % self._size]
+    def _check(self, handle: int) -> None:
+        if handle < 0 or handle >= self._head or handle < self._head - self._size:
+            raise NotFound(f"ring handle {handle} out of validity window")
 
     def put(self, handle: int, tensors: Dict[int, np.ndarray]) -> None:
-        slot = self._slot(handle)
-        for tid, arr in tensors.items():
-            np.copyto(slot[tid], np.asarray(arr).reshape(slot[tid].shape))
+        # the copy stays under the lock (as the reference's ring does,
+        # tensor_ring_buffer.cc): a handle wrapping out of the validity
+        # window mid-copy would otherwise scribble over the slot its
+        # successor now owns
+        with self._lock:
+            self._check(handle)
+            slot = self._slots[handle % self._size]
+            for tid, arr in tensors.items():
+                np.copyto(slot[tid], np.asarray(arr).reshape(slot[tid].shape))
 
     def get(self, handle: int) -> Dict[int, np.ndarray]:
-        slot = self._slot(handle)
-        return {tid: arr.copy() for tid, arr in slot.items()}
+        with self._lock:
+            self._check(handle)
+            slot = self._slots[handle % self._size]
+            return {tid: arr.copy() for tid, arr in slot.items()}
 
     def view(self, handle: int) -> Dict[int, np.ndarray]:
         """Zero-copy view of the slot (worker-side read)."""
-        return self._slot(handle)
+        with self._lock:
+            self._check(handle)
+            return self._slots[handle % self._size]
 
     def is_valid(self, handle: int) -> bool:
         with self._lock:

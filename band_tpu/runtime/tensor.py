@@ -26,12 +26,21 @@ class StagedInput:
     def stage(self, device) -> "StagedInput":
         import jax
 
-        if device.platform not in self._copies:
-            self._copies[device.platform] = jax.device_put(self.host, device)
+        if device not in self._copies:
+            self._copies[device] = jax.device_put(self.host, device)
         return self
 
     def for_device(self, device):
-        return self._copies.get(device.platform, self.host)
+        """The copy committed to exactly this device; falls back to any
+        same-platform copy (the caller re-commits if needed), else host
+        memory."""
+        exact = self._copies.get(device)
+        if exact is not None:
+            return exact
+        for dev, arr in self._copies.items():
+            if dev.platform == device.platform:
+                return arr
+        return self.host
 
 
 @dataclass
@@ -68,6 +77,13 @@ class Tensor:
     def dequantized(self) -> np.ndarray:
         if self.quant is None or self.data.dtype.kind == "f":
             return self.data.astype(np.float32)
-        return (
-            self.data.astype(np.float32) - self.quant.zero_point.astype(np.float32)
-        ) * self.quant.scale
+        scale = np.asarray(self.quant.scale, np.float32)
+        zp = np.asarray(self.quant.zero_point, np.float32)
+        if scale.size > 1:
+            # per-channel params broadcast along quantized_dimension
+            qd = self.quant.quantized_dimension
+            bshape = [1] * self.data.ndim
+            bshape[qd] = scale.size
+            scale = scale.reshape(bshape)
+            zp = zp.reshape(bshape)
+        return (self.data.astype(np.float32) - zp) * scale
