@@ -2,9 +2,8 @@
 
 The reference exposes C/Java bindings for embedding; a TPU serving tier
 wants a network front-end instead.  This is a small threaded HTTP/JSON
-server over the engine (the reference's gRPC row was never implemented;
-grpcio-tools is not available in this image, so the wire format is
-JSON + base64 ndarray):
+server over the engine (wire format JSON + base64 ndarray; a gRPC
+front-end with the same surface lives in grpc_server.py):
 
   GET    /health            -> {"status": "ok"}
   GET    /models            -> model table (ids, inputs, outputs)

@@ -1,0 +1,156 @@
+"""gRPC front-end test: the full service surface over a real channel.
+
+The reference README advertises gRPC but never implements it; this
+exercises our real one (band_tpu/tools/grpc_server.py): register +
+sync/async/wait + stats + unregister + pipelined bidi streaming, and
+error-status mapping.
+"""
+
+import numpy as np
+import pytest
+
+grpc = pytest.importorskip("grpc")
+
+import band_tpu as bt
+from band_tpu.tools import band_grpc_pb2 as pb
+from band_tpu.tools.grpc_server import (
+    BandGrpcClient,
+    decode_tensor,
+    encode_tensor,
+    serve_grpc,
+)
+from tests.conftest import has_model, model_path
+
+
+@pytest.fixture
+def grpc_engine():
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    svc, server, port = serve_grpc(cfg, port=0)
+    client = BandGrpcClient(f"127.0.0.1:{port}")
+    yield client
+    client.close()
+    server.stop(grace=None)
+    svc.shutdown()
+
+
+def test_grpc_round_trip(grpc_engine, rng):
+    c = grpc_engine
+    health = c.health(pb.Empty())
+    assert health.status == "ok" and health.num_workers == 1
+
+    reg = c.register_model(pb.RegisterRequest(path=model_path("add")))
+    mid = reg.model_id
+
+    table = c.list_models(pb.Empty())
+    assert [m.model_id for m in table.models] == [mid]
+    assert table.models[0].inputs[0].dtype == "float32"
+
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    out = c.request(
+        pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)], seq=42)
+    )
+    assert out.seq == 42
+    np.testing.assert_allclose(
+        decode_tensor(out.outputs[0]), 3 * x, rtol=1e-5
+    )
+
+    # async + wait
+    jid = c.request_async(
+        pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)])
+    ).job_id
+    out = c.wait(pb.WaitRequest(job_id=jid))
+    np.testing.assert_allclose(
+        decode_tensor(out.outputs[0]), 3 * x, rtol=1e-5
+    )
+
+    stats = c.stats(pb.Empty())
+    assert stats.models[mid].execution_count >= 2
+    assert len(stats.models[mid].expected_latency_us) >= 1
+
+
+def test_grpc_stream_pipelined(grpc_engine, rng):
+    c = grpc_engine
+    mid = c.register_model(
+        pb.RegisterRequest(path=model_path("add"))
+    ).model_id
+    xs = [
+        rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+        for _ in range(8)
+    ]
+    reqs = (
+        pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)], seq=i)
+        for i, x in enumerate(xs)
+    )
+    replies = list(c.stream_requests(reqs))
+    assert [r.seq for r in replies] == list(range(8))
+    for r, x in zip(replies, xs):
+        np.testing.assert_allclose(
+            decode_tensor(r.outputs[0]), 3 * x, rtol=1e-5
+        )
+
+
+def test_grpc_errors(grpc_engine, rng):
+    c = grpc_engine
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+
+    # unknown model -> INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as ei:
+        c.request(
+            pb.InferRequest(model_id=99, inputs=[encode_tensor(x)])
+        )
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+    # bad register path
+    with pytest.raises(grpc.RpcError) as ei:
+        c.register_model(pb.RegisterRequest(path="/nonexistent.tflite"))
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as ei:
+        c.register_model(pb.RegisterRequest())
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+    # malformed tensor bytes (shape/data mismatch)
+    with pytest.raises(grpc.RpcError) as ei:
+        c.request(
+            pb.InferRequest(
+                model_id=0,
+                inputs=[
+                    pb.Tensor(shape=[2], dtype="float32", data=b"\x00")
+                ],
+            )
+        )
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+    # wait on a job that never existed -> NOT_FOUND (finished-ring miss)
+    # after timeout path: use a tiny timeout so it maps deterministically
+    with pytest.raises(grpc.RpcError) as ei:
+        c.wait(pb.WaitRequest(job_id=10_000, timeout_s=0.05))
+    assert ei.value.code() == grpc.StatusCode.DEADLINE_EXCEEDED
+
+    # unregister missing model -> NOT_FOUND
+    with pytest.raises(grpc.RpcError) as ei:
+        c.unregister_model(pb.ModelId(model_id=77))
+    assert ei.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_grpc_unregister_flow(grpc_engine, rng):
+    c = grpc_engine
+    mid = c.register_model(
+        pb.RegisterRequest(path=model_path("add"))
+    ).model_id
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    c.request(pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)]))
+
+    c.unregister_model(pb.ModelId(model_id=mid))
+    assert len(c.list_models(pb.Empty()).models) == 0
+    with pytest.raises(grpc.RpcError) as ei:
+        c.request(pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)]))
+    assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
