@@ -28,6 +28,8 @@ _NUMPY_DTYPES = {
     TensorType.UINT64: np.uint64,
     TensorType.UINT32: np.uint32,
     TensorType.UINT16: np.uint16,
+    TensorType.COMPLEX64: np.complex64,
+    TensorType.COMPLEX128: np.complex128,
 }
 
 

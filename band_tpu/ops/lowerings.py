@@ -2403,3 +2403,179 @@ def _scatter_nd(ctx: LowerCtx, op: OpNode) -> None:
     out = jnp.zeros(shape, updates.dtype)
     ctx.set(op.outputs[0],
             out.at[tuple(jnp.moveaxis(indices, -1, 0))].add(updates))
+
+
+# --------------------------------------------------------------------------
+# Support tail 2: segment reductions, sequence reversal, matrix diag,
+# pointwise/bitwise stragglers, 3-D convolution, spectral ops.  Oracle
+# bundle: tests/gen_support_ops2_model.py -> tests/test_support_ops.py.
+# The reference gets these from the TFLite CPU kernel library
+# (band/backend/tfl/model_executor.cc:249-255).
+# --------------------------------------------------------------------------
+
+def _const_or_arr(ctx: LowerCtx, tid: int):
+    td = ctx.graph.tensor(tid)
+    return jnp.asarray(td.data) if td.is_constant else ctx.arr(tid)
+
+
+@register("SEGMENT_SUM")
+def _segment_sum(ctx: LowerCtx, op: OpNode) -> None:
+    data = ctx.arr(op.inputs[0])
+    seg_td = ctx.graph.tensor(op.inputs[1])
+    seg = _const_or_arr(ctx, op.inputs[1])
+    if seg_td.is_constant:  # segment count is data-dependent: resolve
+        n = int(np.max(seg_td.data)) + 1  # host-side when ids are static
+    else:  # dynamic ids: trust the (converter-pinned) output shape
+        n = int(ctx.graph.tensor(op.outputs[0]).shape[0])
+    ctx.set(op.outputs[0], jax.ops.segment_sum(data, seg, num_segments=n))
+
+
+def _unsorted_segment(kind: str):
+    fns = {
+        "sum": jax.ops.segment_sum,
+        "prod": jax.ops.segment_prod,
+        "max": jax.ops.segment_max,
+        "min": jax.ops.segment_min,
+    }
+
+    def lower(ctx: LowerCtx, op: OpNode) -> None:
+        data = ctx.arr(op.inputs[0])
+        seg = _const_or_arr(ctx, op.inputs[1])
+        n = int(np.ravel(ctx.static(op.inputs[2]))[0])
+        out = fns[kind](data, seg, num_segments=n)
+        if kind in ("max", "min"):
+            # TF fills empty segments with the dtype's lowest/highest
+            # value; JAX uses the monoid identity (+-inf for floats)
+            if jnp.issubdtype(data.dtype, jnp.floating):
+                info = jnp.finfo(data.dtype)
+            else:
+                info = jnp.iinfo(data.dtype)
+            fill = info.min if kind == "max" else info.max
+            counts = jax.ops.segment_sum(
+                jnp.ones(seg.shape, jnp.int32), seg, num_segments=n
+            )
+            empty = (counts == 0).reshape((n,) + (1,) * (out.ndim - 1))
+            out = jnp.where(empty, jnp.asarray(fill, data.dtype), out)
+        ctx.set(op.outputs[0], out.astype(data.dtype))
+
+    return lower
+
+
+register("UNSORTED_SEGMENT_SUM", static_inputs=(2,))(_unsorted_segment("sum"))
+register("UNSORTED_SEGMENT_PROD", static_inputs=(2,))(_unsorted_segment("prod"))
+register("UNSORTED_SEGMENT_MAX", static_inputs=(2,))(_unsorted_segment("max"))
+register("UNSORTED_SEGMENT_MIN", static_inputs=(2,))(_unsorted_segment("min"))
+
+
+@register("REVERSE_SEQUENCE")
+def _reverse_sequence(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    lens = _const_or_arr(ctx, op.inputs[1]).astype(jnp.int32)
+    s = int(op.options.get("seq_dim", 0))
+    b = int(op.options.get("batch_dim", 0))
+    seq_len = x.shape[s]
+    pos_shape = [1] * x.ndim
+    pos_shape[s] = seq_len
+    pos = jnp.arange(seq_len, dtype=jnp.int32).reshape(pos_shape)
+    len_shape = [1] * x.ndim
+    len_shape[b] = x.shape[b]
+    ln = lens.reshape(len_shape)
+    idx = jnp.where(pos < ln, ln - 1 - pos, pos)
+    idx = jnp.broadcast_to(idx, x.shape)
+    ctx.set(op.outputs[0], jnp.take_along_axis(x, idx, axis=s))
+
+
+@register("MATRIX_DIAG")
+def _matrix_diag(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    n = x.shape[-1]
+    ctx.set(op.outputs[0], jnp.where(
+        jnp.eye(n, dtype=bool), x[..., :, None],
+        jnp.zeros((), x.dtype)))
+
+
+@register("MATRIX_SET_DIAG")
+def _matrix_set_diag(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    d = ctx.arr(op.inputs[1])
+    k = min(x.shape[-2], x.shape[-1])
+    i = jnp.arange(k)
+    ctx.set(op.outputs[0], x.at[..., i, i].set(d))
+
+
+@register("ATAN2")
+def _atan2(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0],
+            jnp.arctan2(ctx.arr(op.inputs[0]), ctx.arr(op.inputs[1])))
+
+
+@register("SIGN")
+def _sign(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.sign(ctx.arr(op.inputs[0])))
+
+
+@register("BITWISE_XOR")
+def _bitwise_xor(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.bitwise_xor(
+        ctx.arr(op.inputs[0]), _const_or_arr(ctx, op.inputs[1])))
+
+
+@register("RIGHT_SHIFT")
+def _right_shift(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.right_shift(
+        ctx.arr(op.inputs[0]), _const_or_arr(ctx, op.inputs[1])))
+
+
+@register("CONV_3D")
+def _conv3d(ctx: LowerCtx, op: OpNode) -> None:
+    """Float 3-D convolution (video model family). TFLite CONV_3D is
+    float-only; weights are DHWIO, input NDHWC."""
+    x = ctx.arr(op.inputs[0])
+    w = _const_or_arr(ctx, op.inputs[1])
+    opts = op.options
+    kd, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    st = (opts["stride_d"], opts["stride_h"], opts["stride_w"])
+    dil = (opts.get("dilation_d", 1), opts.get("dilation_h", 1),
+           opts.get("dilation_w", 1))
+    if opts["padding"] == "SAME":
+        pads = [
+            _same_pads(x.shape[1], kd, st[0], dil[0]),
+            _same_pads(x.shape[2], kh, st[1], dil[1]),
+            _same_pads(x.shape[3], kw, st[2], dil[2]),
+        ]
+    else:
+        pads = [(0, 0)] * 3
+    acc = lax.conv_general_dilated(
+        x, w, st, pads, rhs_dilation=dil,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if len(op.inputs) > 2 and op.inputs[2] >= 0:
+        acc = acc + _const_or_arr(ctx, op.inputs[2])
+    out = _apply_float_activation(acc, opts.get("activation", "NONE"))
+    ctx.set(op.outputs[0], out.astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("RFFT2D", static_inputs=(1,))
+def _rfft2d(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    fft_len = [int(v) for v in np.ravel(ctx.static(op.inputs[1]))]
+    out = jnp.fft.rfftn(x, s=fft_len, axes=(-2, -1))
+    ctx.set(op.outputs[0], out.astype(jnp.complex64))
+
+
+@register("COMPLEX_ABS")
+def _complex_abs(ctx: LowerCtx, op: OpNode) -> None:
+    x = ctx.arr(op.inputs[0])
+    ctx.set(op.outputs[0],
+            jnp.abs(x).astype(ctx.graph.tensor(op.outputs[0]).dtype))
+
+
+@register("REAL")
+def _real(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.real(ctx.arr(op.inputs[0])))
+
+
+@register("IMAG")
+def _imag(ctx: LowerCtx, op: OpNode) -> None:
+    ctx.set(op.outputs[0], jnp.imag(ctx.arr(op.inputs[0])))

@@ -115,6 +115,23 @@ def _transpose_conv_options(t: Table) -> Dict[str, Any]:
     }
 
 
+def _reverse_sequence_options(t: Table) -> Dict[str, Any]:
+    return {"seq_dim": t.i32(0, 0), "batch_dim": t.i32(1, 0)}
+
+
+def _conv3d_options(t: Table) -> Dict[str, Any]:
+    return {
+        "padding": _PADDING.get(t.i8(0), "SAME"),
+        "stride_d": t.i32(1, 0) or 1,
+        "stride_w": t.i32(2, 0) or 1,
+        "stride_h": t.i32(3, 0) or 1,
+        "activation": _ACT.get(t.i8(4), "NONE"),
+        "dilation_d": t.i32(5, 1),
+        "dilation_w": t.i32(6, 1),
+        "dilation_h": t.i32(7, 1),
+    }
+
+
 def _useq_lstm_options(t: Table) -> Dict[str, Any]:
     return {
         "activation": _ACT.get(t.i8(0), "NONE"),
@@ -243,6 +260,8 @@ _OPTION_PARSERS: Dict[int, Callable[[Table], Dict[str, Any]]] = {
     S.OptionsType.UnidirectionalSequenceLSTMOptions: _useq_lstm_options,
     S.OptionsType.WhileOptions: _while_options,
     S.OptionsType.IfOptions: _if_options,
+    S.OptionsType.ReverseSequenceOptions: _reverse_sequence_options,
+    S.OptionsType.Conv3DOptions: _conv3d_options,
 }
 
 

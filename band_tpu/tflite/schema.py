@@ -81,10 +81,18 @@ BUILTIN_OP_NAMES = {
     117: "HARD_SWISH", 118: "IF", 119: "WHILE", 120: "NON_MAX_SUPPRESSION_V4",
     121: "NON_MAX_SUPPRESSION_V5", 122: "SCATTER_ND", 123: "SELECT_V2",
     124: "DENSIFY", 125: "SEGMENT_SUM", 126: "BATCH_MATMUL",
-    127: "PLACEHOLDER_FOR_GREATER_OP_CODES", 128: "CUMSUM", 130: "BROADCAST_TO",
-    140: "REDUCE_ALL", 145: "BROADCAST_ARGS",
-    150: "GELU", 151: "DYNAMIC_UPDATE_SLICE", 152: "RELU_0_TO_1",
-    156: "ATAN2", 158: "SIGN", 159: "BITCAST",
+    127: "PLACEHOLDER_FOR_GREATER_OP_CODES", 128: "CUMSUM",
+    129: "CALL_ONCE", 130: "BROADCAST_TO", 131: "RFFT2D", 132: "CONV_3D",
+    133: "IMAG", 134: "REAL", 135: "COMPLEX_ABS", 136: "HASHTABLE",
+    137: "HASHTABLE_FIND", 138: "HASHTABLE_IMPORT", 139: "HASHTABLE_SIZE",
+    140: "REDUCE_ALL", 141: "CONV_3D_TRANSPOSE", 142: "VAR_HANDLE",
+    143: "READ_VARIABLE", 144: "ASSIGN_VARIABLE", 145: "BROADCAST_ARGS",
+    146: "RANDOM_STANDARD_NORMAL", 147: "BUCKETIZE", 148: "RANDOM_UNIFORM",
+    149: "MULTINOMIAL", 150: "GELU", 151: "DYNAMIC_UPDATE_SLICE",
+    152: "RELU_0_TO_1", 153: "UNSORTED_SEGMENT_PROD",
+    154: "UNSORTED_SEGMENT_MAX", 155: "UNSORTED_SEGMENT_SUM", 156: "ATAN2",
+    157: "UNSORTED_SEGMENT_MIN", 158: "SIGN", 159: "BITCAST",
+    160: "BITWISE_XOR", 161: "RIGHT_SHIFT", 203: "DILATE",
 }
 
 BUILTIN_OP_CODES = {v: k for k, v in BUILTIN_OP_NAMES.items()}
@@ -203,3 +211,5 @@ class OptionsType(enum.IntEnum):
     HardSwishOptions = 91
     BatchMatMulOptions = 101
     CumsumOptions = 102
+    ReverseSequenceOptions = 87
+    Conv3DOptions = 106

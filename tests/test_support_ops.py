@@ -21,6 +21,7 @@ from tests.conftest import make_tfl_interpreter
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 PATH = os.path.join(DATA, "support_ops.tflite")
+PATH2 = os.path.join(DATA, "support_ops2.tflite")
 
 EXPECTED_OPS = {
     "EQUAL", "NOT_EQUAL", "GREATER", "GREATER_EQUAL", "LESS", "LESS_EQUAL",
@@ -30,25 +31,32 @@ EXPECTED_OPS = {
     "CUMSUM", "ONE_HOT", "LOCAL_RESPONSE_NORMALIZATION", "TOPK_V2",
 }
 
+EXPECTED_OPS2 = {
+    "SEGMENT_SUM", "UNSORTED_SEGMENT_SUM", "UNSORTED_SEGMENT_MAX",
+    "UNSORTED_SEGMENT_MIN", "UNSORTED_SEGMENT_PROD", "REVERSE_SEQUENCE",
+    "MATRIX_DIAG", "MATRIX_SET_DIAG", "ATAN2", "SIGN", "BITWISE_XOR",
+    "RIGHT_SHIFT", "CONV_3D", "RFFT2D", "COMPLEX_ABS", "REAL", "IMAG",
+}
 
-@pytest.fixture(scope="module")
-def pair(rng_module):
-    if not os.path.exists(PATH):
-        pytest.skip("generated model missing")
-    it = make_tfl_interpreter(PATH)
+
+def _run_both(path, rng):
+    it = make_tfl_interpreter(path)
     it.allocate_tensors()
-    rng = rng_module
     feeds = {}
     for d in it.get_input_details():
-        feeds[d["index"]] = rng.standard_normal(d["shape"]).astype(
-            d["dtype"])
+        if np.issubdtype(d["dtype"], np.integer):
+            feeds[d["index"]] = rng.integers(
+                -40, 40, d["shape"]).astype(d["dtype"])
+        else:
+            feeds[d["index"]] = rng.standard_normal(d["shape"]).astype(
+                d["dtype"])
         it.set_tensor(d["index"], feeds[d["index"]])
     it.invoke()
     ref = {}
     for d in it.get_output_details():
         ref[d["index"]] = it.get_tensor(d["index"])
 
-    g = parse_tflite_file(PATH)
+    g = parse_tflite_file(path)
     prog = build_program(g, range(len(g.ops)), exact=True,
                          conv_mode="f32_split")
     fn = jax.jit(prog.make_fn())
@@ -59,16 +67,25 @@ def pair(rng_module):
 
 
 @pytest.fixture(scope="module")
+def pair(rng_module):
+    if not os.path.exists(PATH):
+        pytest.skip("generated model missing")
+    return _run_both(PATH, rng_module)
+
+
+@pytest.fixture(scope="module")
+def pair2(rng_module):
+    if not os.path.exists(PATH2):
+        pytest.skip("generated model missing")
+    return _run_both(PATH2, rng_module)
+
+
+@pytest.fixture(scope="module")
 def rng_module():
     return np.random.default_rng(11)
 
 
-def test_op_coverage(pair):
-    _, _, g = pair
-    assert EXPECTED_OPS <= set(g.op_histogram())
-
-
-def test_all_outputs_match(pair):
+def _assert_match(pair):
     ref, got, g = pair
     assert set(ref) == set(got)
     for tid, r in ref.items():
@@ -80,3 +97,21 @@ def test_all_outputs_match(pair):
         else:
             np.testing.assert_allclose(o, r, rtol=2e-5, atol=2e-5,
                                        err_msg=name)
+
+
+def test_op_coverage(pair):
+    _, _, g = pair
+    assert EXPECTED_OPS <= set(g.op_histogram())
+
+
+def test_all_outputs_match(pair):
+    _assert_match(pair)
+
+
+def test_op_coverage2(pair2):
+    _, _, g = pair2
+    assert EXPECTED_OPS2 <= set(g.op_histogram())
+
+
+def test_all_outputs_match2(pair2):
+    _assert_match(pair2)
