@@ -38,6 +38,7 @@ class ModelExecutor:
         exact: bool = True,
         host: bool = False,
         donate_inputs: bool = False,
+        mesh_shape: Sequence[int] = (),
     ):
         self.model_id = model_id
         self.graph = graph
@@ -45,6 +46,7 @@ class ModelExecutor:
         self.devices = list(devices)
         self.exact = exact
         self.host = host
+        self.mesh_shape = tuple(mesh_shape)
         # CPU backends lower int8 contractions to scalar code; use the
         # exact f32 nibble-split path there instead (see ops/lowerings)
         self.conv_mode = (
@@ -56,6 +58,7 @@ class ModelExecutor:
         self._params: Dict[SubgraphKey, Dict[str, jax.Array]] = {}
         self._eager: Dict[SubgraphKey, bool] = {}
         self._batched: Dict[SubgraphKey, Dict[int, object]] = {}
+        self._meshes: Dict[SubgraphKey, object] = {}  # mesh workers only
         # concurrent prepare_subgraph calls for the same key: first
         # caller builds, others wait on its event (no double compile /
         # transient double weight placement)
@@ -102,16 +105,21 @@ class ModelExecutor:
             fn = None
             params = {k: np.asarray(v) for k, v in prog.params.items()}
         elif len(self.devices) > 1:
-            # mesh worker: weights tensor-sharded over the device group
+            # mesh worker: weights tensor-sharded over the "tp" axis,
+            # batches (continuous-batching windows) sharded over "dp";
+            # dp x tp comes from WorkerSpec.mesh_shape (default: pure tp)
             from ..parallel.mesh import ShardedProgram, make_mesh
 
             prog = build_program(self.graph, op_indices, exact=self.exact,
                                  conv_mode=self.conv_mode)
-            mesh = make_mesh(self.devices, dp=1, tp=len(self.devices))
+            dp, tp = self.mesh_dims()
+            mesh = make_mesh(self.devices, dp=dp, tp=tp)
             sp = ShardedProgram(prog, mesh, batch_size=1)
             eager = False
             fn = sp
             params = sp.params
+            with self._lock:
+                self._meshes[key] = mesh
         else:
             prog = build_program(self.graph, op_indices, exact=self.exact,
                                  conv_mode=self.conv_mode)
@@ -156,6 +164,17 @@ class ModelExecutor:
             exact=self.exact,
             conv_mode=self.conv_mode,
         )
+
+    def mesh_dims(self) -> Tuple[int, int]:
+        """(dp, tp) for this worker's device group, from the config's
+        mesh_shape (round 1 parsed but never consumed it): 2-D shapes
+        are (dp, tp), 1-D shapes pure tp, default pure tp."""
+        n = len(self.devices)
+        if len(self.mesh_shape) == 2:
+            return self.mesh_shape[0], self.mesh_shape[1]
+        if len(self.mesh_shape) == 1:
+            return max(n // self.mesh_shape[0], 1), self.mesh_shape[0]
+        return 1, n
 
     # ------------------------------------------------------------------
     def has_subgraph(self, key: SubgraphKey) -> bool:
@@ -224,11 +243,27 @@ class ModelExecutor:
             return [self.execute(key, inputs_batch[0])]
         if key not in self._programs:
             raise ExecutionError(f"subgraph {key} not prepared")
-        if self._eager[key] or len(self.devices) > 1:
+        if self._eager[key]:
             return [self.execute(key, ins) for ins in inputs_batch]
         # bucket to the next power of two (pad with the first request) so
         # at most log2(max_batch) executables exist per subgraph
         bucket = 1 << (B - 1).bit_length()
+        if len(self.devices) > 1:
+            # mesh worker: the whole window is ONE sharded dispatch —
+            # batch on "dp", weights on "tp" (parallel/mesh.py
+            # make_batched_fn); weight shards come from the prepared
+            # single-request placement, shared across buckets
+            fn = self._mesh_batched_fn(key, bucket)
+            padded = list(inputs_batch) + [inputs_batch[0]] * (bucket - B)
+            args = tuple(
+                tuple(
+                    v if isinstance(v, jax.Array) else np.asarray(v)
+                    for v in ins
+                )
+                for ins in padded
+            )
+            outs = fn(self._params[key], args)
+            return [list(outs[b]) for b in range(B)]
         fn = self._batched_fn(key, bucket)
         device = self.devices[0]
         padded = list(inputs_batch) + [inputs_batch[0]] * (bucket - B)
@@ -243,6 +278,17 @@ class ModelExecutor:
         )
         outs = fn(self._params[key], args)
         return [list(outs[b]) for b in range(B)]
+
+    def _mesh_batched_fn(self, key: SubgraphKey, batch: int):
+        from ..parallel.mesh import make_batched_fn
+
+        with self._lock:
+            cache = self._batched.setdefault(key, {})
+            if batch not in cache:
+                cache[batch] = make_batched_fn(
+                    self._programs[key], self._meshes[key], batch
+                )
+            return cache[batch]
 
     def _batched_fn(self, key: SubgraphKey, batch: int):
         """One executable per (subgraph, bucket): stacks the requests,

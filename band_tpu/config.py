@@ -120,6 +120,13 @@ class WorkerSpec:
     # pool is process-global so this is informational (the operative
     # per-worker control is cpu_mask on the dispatch thread).
     num_threads: int = 1
+    # device-recovery probing (reference: band/config.h:53 +
+    # band/worker.cc:101-110): after a device error the worker reports
+    # unavailable and re-probes the failed subgraph every this-many ms
+    # until an invoke succeeds.  0 = inherit the worker-pool default
+    # (WorkerConfig.availability_check_interval_ms, reference default
+    # 30 s).
+    availability_check_interval_ms: int = 0
     # failure detection: if one dispatch (input copy + launch) blocks
     # longer than this, the engine watchdog quarantines the worker —
     # its stuck jobs fail so requesters unblock, queued jobs go back to
@@ -244,6 +251,15 @@ class RuntimeConfig:
     # persistent XLA executable cache ("resume" for compilation, the
     # TPU analogue of the reference's offline latency profile reuse)
     compilation_cache_dir: str = ""
+    # transfer-cost model for the scheduler seam (single source for the
+    # Python and native planners, runtime/link_costs.py):
+    #   link_costs: explicit {"h2d"|"host"|"ici"|"dcn":
+    #               [fixed_us, bytes_per_us]} overrides
+    #   probe_link_costs: measure h2d/host/d2d on the live transport at
+    #               engine init (overrides defaults and link_costs for
+    #               the probed classes)
+    link_costs: Optional[Dict[str, Any]] = None
+    probe_link_costs: bool = False
     # engine-wide core pinning applied to the creating thread
     # (reference: global `cpu_masks` key + engine.cc:657-668); empty =
     # leave the caller's affinity alone
@@ -380,6 +396,9 @@ def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
         cpu_mask=str(entry.get("cpu_masks", entry.get("cpu_mask", ""))),
         num_threads=int(entry.get("num_threads", 1)),
         stuck_timeout_ms=int(entry.get("stuck_timeout_ms", 0)),
+        availability_check_interval_ms=int(
+            entry.get("availability_check_interval_ms", 0)
+        ),
     )
 
 
@@ -450,6 +469,10 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
 
     if "compilation_cache_dir" in d:
         b._cfg.compilation_cache_dir = d["compilation_cache_dir"]
+    if "link_costs" in d:
+        b._cfg.link_costs = dict(d["link_costs"])
+    if "probe_link_costs" in d:
+        b._cfg.probe_link_costs = bool(d["probe_link_costs"])
 
     dist = d.get("distributed", {})
     if dist:

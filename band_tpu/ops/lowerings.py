@@ -2427,6 +2427,13 @@ def _segment_sum(ctx: LowerCtx, op: OpNode) -> None:
         n = int(np.max(seg_td.data)) + 1  # host-side when ids are static
     else:  # dynamic ids: trust the (converter-pinned) output shape
         n = int(ctx.graph.tensor(op.outputs[0]).shape[0])
+        if n <= 0:
+            # converters may leave the leading dim dynamic (-1/0); a
+            # silent wrong segment count here would corrupt results
+            raise LoweringError(
+                "SEGMENT_SUM with non-constant segment ids needs a "
+                f"static positive output dim 0, got {n}"
+            )
     ctx.set(op.outputs[0], jax.ops.segment_sum(data, seg, num_segments=n))
 
 

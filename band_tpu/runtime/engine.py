@@ -142,11 +142,31 @@ class Engine(EngineBase):
         )
         for wid, spec in enumerate(config.worker.workers):
             w = worker_cls(self, wid, spec)
+            if spec.availability_check_interval_ms <= 0:
+                # per-worker value 0 inherits the pool default
+                # (reference: band/config.h:53, default 30 s)
+                w._avail_check_ms = (
+                    config.worker.availability_check_interval_ms
+                )
             self.workers.append(w)
             tracer().register_worker(wid, f"{spec.device.value}:{spec.device_ids}")
         self._worker_devices: List[List[jax.Device]] = [
             self._resolve_devices(spec) for spec in config.worker.workers
         ]
+        # transfer-cost model: one table consumed by BOTH the Python DP
+        # (get_transfer_cost_us) and the native decision core (passed by
+        # pointer into band_plan_dp) — defaults -> config overrides ->
+        # live-transport probe (runtime/link_costs.py)
+        from .link_costs import LinkCostTable, measure as measure_links
+
+        self.link_costs = LinkCostTable()
+        if config.link_costs:
+            self.link_costs.update_from_dict(config.link_costs)
+        if config.probe_link_costs:
+            measure_links(
+                [d for devs in self._worker_devices for d in devs],
+                self.link_costs,
+            )
         # native planner decision core (C++, reference parity with the
         # native scheduler layer); None -> pure-Python DP fallback
         from . import native as plan_native
@@ -323,6 +343,7 @@ class Engine(EngineBase):
                     self._worker_devices[wid],
                     exact=True,
                     host=self._worker_is_host(wid),
+                    mesh_shape=self.config.worker.workers[wid].mesh_shape,
                 )
             key = rec.executors[wid].prepare_subgraph(
                 sorted(sdef.op_indices), sorted(sdef.unit_indices)
@@ -512,8 +533,39 @@ class Engine(EngineBase):
             raise NotFound(f"job {job_id} failed with {status}")
         return self.get_outputs(job_id)
 
-    def wait_all(self, job_ids: Sequence[int], timeout: float = 120.0):
-        return self.planner.wait(job_ids, timeout=timeout)
+    def wait_all(
+        self,
+        job_ids: Sequence[int],
+        timeout: float = 120.0,
+        raise_on_incomplete: bool = False,
+    ) -> Dict[int, JobStatus]:
+        """Wait for many jobs; returns {job_id: status} for those that
+        finished within the timeout.
+
+        The underlying planner wait (reference: planner.cc:155-173)
+        returns a *partial* dict on timeout — callers must diff it
+        against `job_ids` or pass raise_on_incomplete=True to turn a
+        partial result into a TimeoutError naming the missing jobs."""
+        statuses = self.planner.wait(job_ids, timeout=timeout)
+        if raise_on_incomplete and len(statuses) < len(set(job_ids)):
+            missing = [j for j in job_ids if j not in statuses]
+            raise TimeoutError(
+                f"{len(missing)} of {len(job_ids)} jobs unfinished after "
+                f"{timeout}s (first missing: {missing[:8]})"
+            )
+        return statuses
+
+    def list_models(self) -> Dict[int, "_ModelRecord"]:
+        """Consistent snapshot of the registered-model table, taken
+        under the engine's own lock (the front-ends previously iterated
+        the private dict under their own locks, which does not
+        synchronize with register/unregister on other threads)."""
+        with self._lock:
+            return dict(self._models)
+
+    def model_ids(self) -> List[int]:
+        with self._lock:
+            return list(self._models)
 
     def get_outputs(self, job_id: int) -> List[np.ndarray]:
         job = self.planner.get_finished_job(job_id)
@@ -633,8 +685,11 @@ class Engine(EngineBase):
         The reference's transport is an in-process memcpy it never
         costs (engine.cc:1247-1365); on TPU a hop may cross
         device<->host or chip<->chip links, so the scheduler seam must
-        see the cost (SURVEY §5.8).  Model: bytes / link bandwidth +
-        fixed launch overhead, by link class."""
+        see the cost (SURVEY §5.8).  Model: fixed launch overhead +
+        bytes / link bandwidth, by link class, from the engine's
+        LinkCostTable (the same table the native DP consumes)."""
+        from .link_costs import DCN, H2D, HOST, ICI
+
         if src_worker < 0 or src_worker == dst_worker:
             return 0
         rec = self._rec(model_id)
@@ -642,20 +697,17 @@ class Engine(EngineBase):
         src_host = self._worker_is_host(src_worker)
         dst_host = self._worker_is_host(dst_worker)
         if src_host != dst_host:
-            # device <-> host (PCIe-class): ~10 GB/s + launch overhead
-            return 30 + nbytes // 10_000
+            return self.link_costs.cost_us(H2D, nbytes)
         if src_host:
-            return 1 + nbytes // 50_000  # host memcpy
+            return self.link_costs.cost_us(HOST, nbytes)
         src_dev = self._worker_devices[src_worker][0]
         dst_dev = self._worker_devices[dst_worker][0]
         if src_dev is dst_dev:
             return 0
         if (getattr(src_dev, "process_index", 0)
                 != getattr(dst_dev, "process_index", 0)):
-            # host <-> host over DCN: ~3 GB/s + connection latency
-            return 50 + nbytes // 3_000
-        # chip <-> chip over ICI: ~45 GB/s + launch overhead
-        return 5 + nbytes // 45_000
+            return self.link_costs.cost_us(DCN, nbytes)
+        return self.link_costs.cost_us(ICI, nbytes)
 
     def get_subgraph_with_shortest_latency(
         self, job: Job, waiting: Dict[int, int]
@@ -693,7 +745,7 @@ class Engine(EngineBase):
             )
             return self._plan_native.plan_dp(
                 self._plan_lib, rec.plan_tables, self._plan_workers,
-                wvec, start, prev_worker,
+                self.link_costs.table, wvec, start, prev_worker,
             )
         return self._py_get_subgraph_with_shortest_latency(job, waiting)
 
@@ -790,6 +842,24 @@ class Engine(EngineBase):
                 raise ExecutionError(
                     f"injected fault on worker {worker_id}"
                 )
+
+    def probe_subgraph(self, key: SubgraphKey) -> bool:
+        """One device-recovery probe: invoke the failed subgraph with
+        zero inputs and observe completion (reference:
+        Worker::WaitUntilDeviceAvailable re-invokes until ok,
+        band/worker.cc:101-110)."""
+        try:
+            rec = self._rec(key.model_id)
+            executor = rec.executors[key.worker_id]
+            prog = executor.program(key)
+            inputs = [
+                np.zeros([max(s, 1) for s in shape], dtype)
+                for shape, dtype in prog.input_specs
+            ]
+            jax.block_until_ready(self.invoke(key, inputs))
+            return True
+        except Exception:
+            return False
 
     def invoke(self, key: SubgraphKey, inputs: List[np.ndarray]) -> List:
         self._maybe_fault(key.worker_id)

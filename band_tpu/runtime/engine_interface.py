@@ -119,6 +119,11 @@ class EngineBase(abc.ABC):
         """Continuous-batching dispatch; default falls back to serial."""
         return [self.invoke(key, ins) for ins in inputs_list]
 
+    def probe_subgraph(self, key: SubgraphKey) -> bool:
+        """Device-recovery probe: does an invoke of `key` succeed now?
+        (reference: Worker::WaitUntilDeviceAvailable, worker.cc:101-110)"""
+        return True
+
     @abc.abstractmethod
     def try_copy_input_tensors(self, job: Job) -> List[np.ndarray]:
         """Assemble the subgraph's inputs from the input ring buffer and

@@ -104,6 +104,15 @@ class LatencyEstimator:
                 )
             self._write_through(key, rec)
 
+    def override(self, key: SubgraphKey, latency_us: int) -> None:
+        """Pin a key's expected latency exactly (cost-model injection
+        for tests and what-if scheduling analyses)."""
+        with self._lock:
+            rec = self._db.setdefault(key, LatencyRecord())
+            rec.profiled = int(latency_us)
+            rec.moving_averaged = int(latency_us)
+            self._write_through(key, rec)
+
     def set_profiled(self, key: SubgraphKey, latency_us: int) -> None:
         with self._lock:
             rec = self._db.setdefault(key, LatencyRecord())

@@ -51,7 +51,8 @@ def load() -> Optional[ctypes.CDLL]:
         vp = ctypes.c_void_p
         lib.band_plan_dp.argtypes = [
             i, i, vp, vp, vp, vp, vp,  # model table
-            i, vp, vp, vp, vp,         # workers + waiting
+            i, vp, vp, vp,             # workers
+            vp, vp,                    # link-cost table + waiting
             i, i, ctypes.POINTER(ctypes.c_int),
         ]
         lib.band_plan_dp.restype = ctypes.c_longlong
@@ -116,11 +117,15 @@ class WorkerTables:
 
 
 def plan_dp(lib, model: PlanTables, workers: WorkerTables,
-            waiting_us: np.ndarray, start_unit: int, prev_worker: int):
-    """Run the native DP; returns (first-hop SubgraphKey | None, end µs)."""
+            link_costs: np.ndarray, waiting_us: np.ndarray,
+            start_unit: int, prev_worker: int):
+    """Run the native DP; returns (first-hop SubgraphKey | None, end µs).
+    `link_costs` is the engine's LinkCostTable.table (4x2 int64) — the
+    same array the Python DP reads, passed by pointer."""
     out = ctypes.c_int(-1)
     best = lib.band_plan_dp(
-        *model.arg_prefix, *workers.arg, waiting_us.ctypes.data,
+        *model.arg_prefix, *workers.arg, link_costs.ctypes.data,
+        waiting_us.ctypes.data,
         start_unit, prev_worker, ctypes.byref(out),
     )
     if best < 0 or out.value < 0:

@@ -29,18 +29,29 @@ struct Workers {
   const int* proc;  // jax process_index of the first device
 };
 
-// Mirrors Engine.get_transfer_cost_us exactly (runtime/engine.py): the
-// scheduler seam must see hop costs by link class (SURVEY §5.8); the
+// Transfer costing by link class (SURVEY §5.8): the same
+// (4, 2)-int64 LinkCostTable the Python DP consumes
+// (runtime/link_costs.py — row order H2D, HOST, ICI, DCN; row =
+// [fixed_us, bytes_per_us]) is passed in by pointer, so the two
+// implementations share one source of truth by construction.  The
 // reference's in-process memcpy transport is never costed
 // (engine.cc:1247-1365).
-inline i64 xfer_cost(int src, int dst, const Workers& w, i64 nbytes) {
+enum LinkClass { kH2D = 0, kHost = 1, kIci = 2, kDcn = 3 };
+
+inline i64 link_cost(const i64* lc, int cls, i64 nbytes) {
+  const i64 per = lc[cls * 2 + 1] > 0 ? lc[cls * 2 + 1] : 1;
+  return lc[cls * 2] + nbytes / per;
+}
+
+inline i64 xfer_cost(int src, int dst, const Workers& w, i64 nbytes,
+                     const i64* lc) {
   if (src < 0 || src == dst) return 0;
   const bool sh = w.is_host[src] != 0, dh = w.is_host[dst] != 0;
-  if (sh != dh) return 30 + nbytes / 10000;   // PCIe-class host<->device
-  if (sh) return 1 + nbytes / 50000;          // host memcpy
-  if (w.dev[src] == w.dev[dst]) return 0;     // same chip
-  if (w.proc[src] != w.proc[dst]) return 50 + nbytes / 3000;  // DCN
-  return 5 + nbytes / 45000;                  // ICI
+  if (sh != dh) return link_cost(lc, kH2D, nbytes);
+  if (sh) return link_cost(lc, kHost, nbytes);
+  if (w.dev[src] == w.dev[dst]) return 0;  // same chip
+  if (w.proc[src] != w.proc[dst]) return link_cost(lc, kDcn, nbytes);
+  return link_cost(lc, kIci, nbytes);
 }
 
 }  // namespace
@@ -56,7 +67,8 @@ i64 band_plan_dp(int num_units, int n_keys, const int* key_begin,
                  const int* key_end, const int* key_worker,
                  const i64* expected_us, const i64* boundary_bytes,
                  int n_workers, const unsigned char* w_is_host,
-                 const i64* w_dev, const int* w_proc, const i64* waiting_us,
+                 const i64* w_dev, const int* w_proc,
+                 const i64* link_costs, const i64* waiting_us,
                  int start_unit, int prev_worker, int* out_key) {
   *out_key = -1;
   if (start_unit >= num_units) return 0;
@@ -78,7 +90,7 @@ i64 band_plan_dp(int num_units, int n_keys, const int* key_begin,
     for (int j = 0; j < W; ++j) {
       if (trow[j] < 0) continue;
       const int src = (j == n_workers) ? -1 : j;
-      const i64 x = xfer_cost(src, kw, w, boundary_bytes[begin]);
+      const i64 x = xfer_cost(src, kw, w, boundary_bytes[begin], link_costs);
       i64 arrive = trow[j] + x;
       if (arrive < w_wait) arrive = w_wait;
       const i64 end_time = arrive + expected;

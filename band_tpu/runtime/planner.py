@@ -177,6 +177,14 @@ class Planner:
         with self._finished_lock:
             return self._finished.get(job_id)
 
+    def discard_finished(self, job_ids: Sequence[int]) -> None:
+        """Drop finished records a caller will never fetch (e.g. a
+        streaming front-end whose client disconnected mid-stream) so
+        they don't sit in the ring until evicted."""
+        with self._finished_lock:
+            for jid in job_ids:
+                self._finished.pop(jid, None)
+
     def enqueue_finished_job(self, job: Job) -> None:
         """Record ring + wake waiters + fire end-of-request callbacks
         (reference: planner.cc:184-210)."""

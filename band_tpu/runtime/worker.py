@@ -44,9 +44,14 @@ class Worker:
         self.spec = spec
         self._cv = threading.Condition()
         self._kill = False
+        self._kill_event = threading.Event()
         self._paused = False
         self._available = True
-        self._throttling_until = 0.0
+        # device-recovery probe cadence (reference: band/config.h:53);
+        # spec value 0 inherits the pool default of 30 s — the engine
+        # overwrites this with the configured pool value at startup
+        self._avail_check_ms = spec.availability_check_interval_ms or 30_000
+        self._recovering = False
         # set by resource-aware policies (thermal/HBM pressure); the
         # worker reports unavailable so schedulers route around it
         self._resource_throttled = False
@@ -73,6 +78,7 @@ class Worker:
         self._thread.start()
 
     def stop(self) -> None:
+        self._kill_event.set()
         with self._cv:
             self._kill = True
             self._cv.notify_all()
@@ -104,7 +110,6 @@ class Worker:
             self._available
             and not self._quarantined
             and not self._resource_throttled
-            and time.monotonic() >= self._throttling_until
         )
 
     # --- failure detection (engine watchdog) ---
@@ -381,9 +386,10 @@ class Worker:
             self.engine.enqueue_finished_job(job)
 
     def _handle_device_error(self, job: Job) -> None:
-        """Throttle + give jobs back to the planner (reference:
-        worker.cc:101-110, worker_device_queue.cc:110-125)."""
-        self._throttling_until = time.monotonic() + 1.0
+        """Report unavailable + give jobs back to the planner + start
+        re-probing the failed subgraph (reference: worker.cc:101-110,
+        worker_device_queue.cc:110-125)."""
+        failed_key = job.subgraph_key
         jobs = [job] + self._requeue_all()
         for j in jobs:
             j.subgraph_key = type(j.subgraph_key)()  # reset assignment
@@ -392,6 +398,46 @@ class Worker:
             # almost-finished to waiting-time estimates
             j.invoke_time = 0
         self.engine.enqueue_batch(jobs, push_front=True)
+        self._start_recovery(failed_key)
+
+    def _start_recovery(self, failed_key) -> None:
+        """Reference parity with Worker::WaitUntilDeviceAvailable
+        (band/worker.cc:101-110): the worker reports unavailable (so
+        latency-aware schedulers see LARGE_WAITING_TIME and route
+        around it) and re-invokes the failed subgraph every
+        ``availability_check_interval_ms`` until a probe succeeds.
+
+        Unlike the reference — which parks the (blocking) worker thread
+        in the poll loop — the probe runs on a side thread, keeping the
+        dispatch thread responsive for pause/stop and out of the
+        stuck-dispatch watchdog's way."""
+        with self._cv:
+            if self._recovering or self._quarantined:
+                return
+            self._recovering = True
+            self._available = False
+
+        def _probe_loop():
+            try:
+                interval = max(self._avail_check_ms, 1) / 1000.0
+                while not self._kill_event.wait(interval):
+                    if self._quarantined:
+                        return
+                    if self.engine.probe_subgraph(failed_key):
+                        self._available = True
+                        with self._cv:
+                            self._cv.notify_all()
+                        self.engine.trigger()
+                        return
+            finally:
+                with self._cv:
+                    self._recovering = False
+
+        threading.Thread(
+            target=_probe_loop,
+            name=f"band-recover-{self.worker_id}",
+            daemon=True,
+        ).start()
 
 
 class DeviceQueueWorker(Worker):

@@ -85,9 +85,7 @@ class BandGrpcService:
 
     def ListModels(self, request: pb.Empty, context) -> pb.ModelTable:
         table = pb.ModelTable()
-        with self._lock:
-            records = list(self.engine._models.items())
-        for mid, rec in records:
+        for mid, rec in self.engine.list_models().items():
             g = rec.model.graph
             info = table.models.add(
                 model_id=mid,
@@ -183,9 +181,7 @@ class BandGrpcService:
     def Stats(self, request: pb.Empty, context) -> pb.StatsReply:
         reply = pb.StatsReply()
         counts = self.engine.get_model_execution_counts()
-        with self._lock:
-            records = list(self.engine._models.items())
-        for mid, rec in records:
+        for mid, rec in self.engine.list_models().items():
             ms = reply.models[mid]
             ms.execution_count = counts.get(mid, 0)
             for k in rec.subgraph_keys:
@@ -193,6 +189,42 @@ class BandGrpcService:
                     self.engine.get_expected_latency(k)
                 )
         return reply
+
+    def _fetch_stream(
+        self, job_id: int, timeout_s: float, seq: int
+    ) -> pb.InferReply:
+        """Non-aborting fetch for the streaming path: failures become a
+        per-reply status (InferReply.code/error) so one bad request
+        never tears down a pipelined connection."""
+        try:
+            outs = self.engine.wait(job_id, timeout=timeout_s)
+        except TimeoutError:
+            return pb.InferReply(
+                seq=seq, job_id=job_id,
+                code=grpc.StatusCode.DEADLINE_EXCEEDED.value[0],
+                error="timeout",
+            )
+        except DeadlineExceeded:
+            return pb.InferReply(
+                seq=seq, job_id=job_id,
+                code=grpc.StatusCode.DEADLINE_EXCEEDED.value[0],
+                error="slo_violation",
+            )
+        except NotFound as e:
+            return pb.InferReply(
+                seq=seq, job_id=job_id,
+                code=grpc.StatusCode.NOT_FOUND.value[0], error=str(e),
+            )
+        except (BandError, ValueError, TypeError) as e:
+            return pb.InferReply(
+                seq=seq, job_id=job_id,
+                code=grpc.StatusCode.INVALID_ARGUMENT.value[0],
+                error=str(e),
+            )
+        return pb.InferReply(
+            outputs=[encode_tensor(o) for o in outs], seq=seq,
+            job_id=job_id,
+        )
 
     # --- streaming ------------------------------------------------------
     def StreamRequests(
@@ -203,11 +235,13 @@ class BandGrpcService:
         submission never waits on reply fetching), yield replies in
         submission order. Later requests execute while earlier replies
         are still being fetched, which keeps the engine's
-        continuous-batching window full from a single connection."""
-        pending: "queue.Queue[Optional[Tuple[int, int, float]]]" = (
-            queue.Queue()
-        )
-        feed_error: list = []
+        continuous-batching window full from a single connection.
+
+        Per-request failures (decode, submit, wait) come back as replies
+        with InferReply.code set; the stream itself only ends when the
+        client closes it or the transport dies."""
+        # queue items: (job_id | None, seq, timeout_s, code, error)
+        pending: "queue.Queue[Optional[Tuple]]" = queue.Queue()
 
         def _feed():
             try:
@@ -218,27 +252,49 @@ class BandGrpcService:
                             req.model_id, inputs, _option_from(req)
                         )
                     except (BandError, ValueError, TypeError) as e:
-                        feed_error.append(
-                            (grpc.StatusCode.INVALID_ARGUMENT, str(e))
-                        )
-                        break
+                        # reply-with-error, keep feeding later requests
+                        pending.put((
+                            None, req.seq, 0.0,
+                            grpc.StatusCode.INVALID_ARGUMENT.value[0],
+                            str(e),
+                        ))
+                        continue
                     pending.put(
-                        (jid, req.seq, _timeout_of(req.timeout_s))
+                        (jid, req.seq, _timeout_of(req.timeout_s), 0, "")
                     )
             finally:
                 pending.put(None)
 
         feeder = threading.Thread(target=_feed, daemon=True)
         feeder.start()
-        while True:
-            item = pending.get()
-            if item is None:
-                break
-            jid, seq, timeout_s = item
-            yield self._fetch(jid, timeout_s, context, seq=seq)
-        feeder.join()
-        if feed_error:
-            context.abort(*feed_error[0])
+        try:
+            while True:
+                item = pending.get()
+                if item is None:
+                    break
+                jid, seq, timeout_s, code, error = item
+                if jid is None:
+                    yield pb.InferReply(seq=seq, code=code, error=error)
+                else:
+                    yield self._fetch_stream(jid, timeout_s, seq)
+        finally:
+            # client cancelled / transport died mid-stream: the feeder
+            # may still be submitting.  Drain whatever it queued so
+            # finished records don't linger in the planner ring, then
+            # join it (the request_iterator raises on a dead context, so
+            # the feeder terminates promptly).
+            feeder.join(timeout=30)
+            leftovers = []
+            while True:
+                try:
+                    item = pending.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None and item[0] is not None:
+                    leftovers.append(item[0])
+            if leftovers:
+                self.engine.wait_all(leftovers, timeout=5)
+                self.engine.planner.discard_finished(leftovers)
 
     def shutdown(self):
         self.engine.shutdown()

@@ -107,11 +107,8 @@ class EngineServer:
 
     def _models(self):
         out = {}
-        # snapshot under the server lock: register/unregister on other
-        # handler threads mutate the dict mid-iteration otherwise
-        with self._lock:
-            records = list(self.engine._models.items())
-        for mid, rec in records:
+        # engine-lock-consistent snapshot (Engine.list_models)
+        for mid, rec in self.engine.list_models().items():
             g = rec.model.graph
             out[mid] = {
                 "name": rec.model.name,
@@ -180,9 +177,7 @@ class EngineServer:
     def _stats(self):
         counts = self.engine.get_model_execution_counts()
         latency = {}
-        with self._lock:
-            records = list(self.engine._models.items())
-        for mid, rec in records:
+        for mid, rec in self.engine.list_models().items():
             latency[mid] = {
                 str(k): self.engine.get_expected_latency(k)
                 for k in rec.subgraph_keys

@@ -154,3 +154,94 @@ def test_grpc_unregister_flow(grpc_engine, rng):
     with pytest.raises(grpc.RpcError) as ei:
         c.request(pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)]))
     assert ei.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+
+def test_grpc_stream_survives_bad_requests(grpc_engine, rng):
+    """A malformed or unknown-model request inside a pipelined stream
+    produces a per-reply error status (InferReply.code) and the stream
+    keeps serving later requests (ADVICE r1: no fail-fast teardown)."""
+    c = grpc_engine
+    mid = c.register_model(
+        pb.RegisterRequest(path=model_path("add"))
+    ).model_id
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+
+    def reqs():
+        yield pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)], seq=0)
+        # unknown model
+        yield pb.InferRequest(model_id=99, inputs=[encode_tensor(x)], seq=1)
+        # malformed tensor (shape/data mismatch)
+        yield pb.InferRequest(
+            model_id=mid,
+            inputs=[pb.Tensor(shape=[2], dtype="float32", data=b"\x00")],
+            seq=2,
+        )
+        yield pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)], seq=3)
+
+    replies = list(c.stream_requests(reqs()))
+    assert [r.seq for r in replies] == [0, 1, 2, 3]
+    assert replies[0].code == 0 and replies[3].code == 0
+    np.testing.assert_allclose(
+        decode_tensor(replies[0].outputs[0]), 3 * x, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        decode_tensor(replies[3].outputs[0]), 3 * x, rtol=1e-5
+    )
+    assert replies[1].code == grpc.StatusCode.INVALID_ARGUMENT.value[0]
+    assert replies[2].code == grpc.StatusCode.INVALID_ARGUMENT.value[0]
+    assert not replies[1].outputs and replies[1].error
+
+
+def test_grpc_quarantined_worker_jobs_fail_explicitly(rng):
+    """Jobs stuck on a watchdog-quarantined worker surface as explicit
+    per-reply failures through the stream — not hangs, not missing seqs
+    (VERDICT r1 weak #5 / next-round #8)."""
+    import threading
+
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,),
+                                  stuck_timeout_ms=300))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    svc, server, port = serve_grpc(cfg, port=0)
+    client = BandGrpcClient(f"127.0.0.1:{port}")
+    try:
+        mid = client.register_model(
+            pb.RegisterRequest(path=model_path("add"))
+        ).model_id
+        x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+        # wedge the only worker's dispatch path
+        w0 = svc.engine.workers[0]
+        blocker = threading.Event()
+        orig = w0._dispatch
+
+        def wedged(jobs):
+            blocker.wait(30.0)
+            return orig(jobs)
+
+        w0._dispatch = wedged
+        reqs = (
+            pb.InferRequest(model_id=mid, inputs=[encode_tensor(x)],
+                            seq=i, timeout_s=3.0)
+            for i in range(3)
+        )
+        replies = list(client.stream_requests(reqs))
+        blocker.set()
+        assert [r.seq for r in replies] == [0, 1, 2]
+        # every reply is an explicit failure (INVOKE_FAILURE on the
+        # wedged dispatch -> NOT_FOUND mapping, or a reschedule that
+        # cannot dispatch); none hang, none are dropped
+        assert all(r.code != 0 for r in replies), [
+            (r.seq, r.code) for r in replies
+        ]
+    finally:
+        blocker.set()
+        client.close()
+        server.stop(grace=None)
+        svc.shutdown()

@@ -125,3 +125,81 @@ def test_plan_tables_expected_mirrors_estimator(chain_engine):
         assert rec.plan_tables.expected_us[i] == engine.get_expected_latency(
             key
         )
+
+
+def test_native_matches_python_with_injected_link_costs(chain_engine):
+    """Both DPs must consume the engine's LinkCostTable (one source of
+    truth): equivalence holds under randomized injected tables, not just
+    the compiled defaults (VERDICT r1 weak #3)."""
+    engine, model_id = chain_engine
+    rec = engine._rec(model_id)
+    num_units = rec.spec.num_unit_subgraphs
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        # inject a random cost table (write-through: the native side
+        # holds a pointer to this exact array)
+        engine.link_costs.table[:, 0] = rng.integers(0, 5000, 4)
+        engine.link_costs.table[:, 1] = rng.integers(1, 100_000, 4)
+        start = int(rng.integers(0, num_units))
+        job = Job(model_id=model_id, job_id=trial)
+        job.resolved_unit_subgraphs = frozenset(range(start))
+        if start > 0:
+            prev = [k for k in rec.subgraph_keys if k.end_unit == start - 1]
+            if prev:
+                job.subgraph_key = prev[int(rng.integers(0, len(prev)))]
+        waiting = {
+            w: int(rng.integers(0, 3000))
+            for w in range(len(engine.workers))
+        }
+        (key_n, end_n), (key_p, end_p) = _dp_pair(engine, job, waiting)
+        assert end_n == end_p, (trial, engine.link_costs.to_dict())
+        assert (key_n is None) == (key_p is None)
+
+
+def test_link_costs_flip_scheduler_choice(chain_engine):
+    """The DP's worker choice must respond to link costs: with free
+    hops the chain is priced across workers; with ruinously expensive
+    hops the whole-model host path wins (VERDICT r1 next-round #5)."""
+    engine, model_id = chain_engine
+    rec = engine._rec(model_id)
+    # price the keys so exactly two paths are viable:
+    #   chained: tpu{0} 10 -> host{1} 30 -> tpu{2} 10 = 50 + 2 hops
+    #   whole-model on host: 60, no hops
+    # every other (merged host) subgraph is pinned out at 10 ms
+    for key in rec.subgraph_keys:
+        units = key.unit_indices
+        if key.worker_id == 0:
+            engine.latency_estimator.override(key, 10)
+        elif units == frozenset({1}):
+            engine.latency_estimator.override(key, 30)
+        elif units == frozenset({0, 1, 2}):
+            engine.latency_estimator.override(key, 60)
+        else:
+            engine.latency_estimator.override(key, 10_000)
+    job = Job(model_id=model_id, job_id=0)
+    job.resolved_unit_subgraphs = frozenset()
+    waiting = {0: 0, 1: 0}
+    engine.link_costs.table[:] = 0
+    engine.link_costs.table[:, 1] = 1 << 40
+    key_free, end_free = engine.get_subgraph_with_shortest_latency(
+        job, waiting
+    )
+    assert key_free.worker_id == 0, (key_free, end_free)
+    assert end_free == 50
+
+    # ruinous hops: every cross-worker transfer costs 1 ms fixed ->
+    # the hop-free whole-model host path (60 us) wins
+    engine.link_costs.table[:, 0] = 1_000
+    key_costly, end_costly = engine.get_subgraph_with_shortest_latency(
+        job, waiting
+    )
+    assert key_costly.worker_id == 1, (key_costly, end_costly)
+    assert end_costly == 60
+    # Python DP agrees on both regimes
+    engine.link_costs.table[:] = 0
+    engine.link_costs.table[:, 1] = 1 << 40
+    kp, ep = engine._py_get_subgraph_with_shortest_latency(job, waiting)
+    assert (kp.worker_id, ep) == (0, 50)
+    engine.link_costs.table[:, 0] = 1_000
+    kp, ep = engine._py_get_subgraph_with_shortest_latency(job, waiting)
+    assert (kp.worker_id, ep) == (1, 60)

@@ -188,3 +188,63 @@ def test_fc_int8_model_bit_exact(rng):
         fn({k: np.asarray(v) for k, v in prog.params.items()}, [x])[0]
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_link_cost_table_defaults_and_overrides():
+    from band_tpu.runtime.link_costs import (
+        DCN, H2D, HOST, ICI, LinkCostTable,
+    )
+
+    t = LinkCostTable()
+    assert t.cost_us(H2D, 0) == 30
+    assert t.cost_us(H2D, 100_000) == 40
+    assert t.cost_us(ICI, 450_000) == 15
+    t.update_from_dict({"dcn": [100, 500], "host": [2, 1000]})
+    assert t.cost_us(DCN, 5_000) == 110
+    assert t.cost_us(HOST, 1_000) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.update_from_dict({"warp": [1, 1]})
+    # round trip
+    t2 = LinkCostTable()
+    t2.update_from_dict(t.to_dict())
+    assert (t2.table == t.table).all()
+
+
+def test_link_cost_measurement_on_cpu():
+    """measure() runs and produces sane positive entries on the CPU
+    platform (h2d probes are skipped: no accelerator devices)."""
+    import jax
+
+    from band_tpu.runtime.link_costs import HOST, LinkCostTable, measure
+
+    t = measure(jax.devices("cpu"), LinkCostTable())
+    assert (t.table[:, 0] >= 0).all() and (t.table[:, 1] >= 1).all()
+    # host memcpy was actually probed: a 4 MB copy should be priced
+    # well under a second
+    assert t.cost_us(HOST, 1 << 22) < 1_000_000
+
+
+def test_engine_probe_link_costs_config():
+    """probe_link_costs=True measures at engine init; link_costs dict
+    overrides defaults."""
+    import band_tpu as bt
+
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    cfg.link_costs = {"dcn": [123, 456]}
+    eng = bt.Engine.create(cfg)
+    try:
+        from band_tpu.runtime.link_costs import DCN
+
+        assert eng.link_costs.table[DCN, 0] == 123
+        assert eng.link_costs.table[DCN, 1] == 456
+    finally:
+        eng.shutdown()

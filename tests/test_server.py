@@ -129,3 +129,53 @@ def test_server_unregister(server, rng):
     assert code == 404
     code, out = _call(f"{server}/models/notanid", "DELETE")
     assert code == 400
+
+
+def test_server_quarantined_worker_fails_explicitly(rng):
+    """A wedged (watchdog-quarantined) worker's jobs come back as
+    explicit HTTP errors, not hangs (VERDICT r1 next-round #8)."""
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,),
+                                  stuck_timeout_ms=300))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    es, httpd = serve(cfg, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    blocker = threading.Event()
+    try:
+        code, body = _call(base + "/models", "POST",
+                           {"path": model_path("add")})
+        assert code == 200
+        mid = body["model_id"]
+        x = encode_tensor(np.zeros((1, 8, 8, 3), np.float32))
+
+        w0 = es.engine.workers[0]
+        orig = w0._dispatch
+
+        def wedged(jobs):
+            blocker.wait(30.0)
+            return orig(jobs)
+
+        w0._dispatch = wedged
+        # async submit, then wait: must return an explicit error status
+        code, body = _call(base + "/request", "POST",
+                           {"model_id": mid, "inputs": [x], "sync": False})
+        assert code == 200
+        jid = body["job_id"]
+        code, body = _call(base + "/wait", "POST",
+                           {"job_id": jid, "timeout": 15})
+        assert code in (400, 504), (code, body)
+        assert "error" in body
+    finally:
+        blocker.set()
+        httpd.shutdown()
+        es.shutdown()
