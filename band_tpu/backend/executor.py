@@ -59,6 +59,10 @@ class ModelExecutor:
         self._eager: Dict[SubgraphKey, bool] = {}
         self._batched: Dict[SubgraphKey, Dict[int, object]] = {}
         self._meshes: Dict[SubgraphKey, object] = {}  # mesh workers only
+        # cross-process serving: set by SpmdChannel.attach() on the
+        # driver so every launch of a host-spanning program is announced
+        # to the follower processes first (parallel/spmd.py)
+        self._spmd = None
         # concurrent prepare_subgraph calls for the same key: first
         # caller builds, others wait on its event (no double compile /
         # transient double weight placement)
@@ -216,6 +220,11 @@ class ModelExecutor:
         if len(self.devices) > 1:
             # mesh path: the jitted fn has explicit in_shardings and
             # reshards host/device arrays itself
+            if self._spmd is not None:
+                host_args = [np.asarray(v) for v in inputs]
+                with self._spmd.lock:
+                    self._spmd.announce(key, 0, host_args)
+                    return fn(tuple(host_args))
             args = tuple(
                 v if isinstance(v, jax.Array) else np.asarray(v)
                 for v in inputs
@@ -262,6 +271,21 @@ class ModelExecutor:
                 )
                 for ins in padded
             )
+            if self._spmd is not None:
+                # announce the padded window as per-position stacks; the
+                # followers re-split and run the identical bucket program
+                n_pos = len(args[0])
+                stacked = [
+                    np.stack([np.asarray(ins[p]) for ins in args])
+                    for p in range(n_pos)
+                ]
+                host_args = tuple(
+                    tuple(s[b] for s in stacked) for b in range(bucket)
+                )
+                with self._spmd.lock:
+                    self._spmd.announce(key, bucket, stacked)
+                    outs = fn(self._params[key], host_args)
+                return [list(outs[b]) for b in range(B)]
             outs = fn(self._params[key], args)
             return [list(outs[b]) for b in range(B)]
         fn = self._batched_fn(key, bucket)

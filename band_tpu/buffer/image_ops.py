@@ -144,6 +144,17 @@ class Flip(BufferOperator):
 
     def process(self, buf: Buffer) -> Buffer:
         src = buf.array()
+        lib = load_native()
+        if lib is not None and src.dtype == np.uint8:
+            c = src.shape[2] if src.ndim == 3 else 1
+            src3 = np.ascontiguousarray(
+                src.reshape(src.shape[0], src.shape[1], c)
+            )
+            dst = np.empty_like(src3)
+            lib.flip_u8(_u8ptr(src3), src3.shape[0], src3.shape[1], c,
+                        1 if self.horizontal else 0, _u8ptr(dst))
+            out = dst if src.ndim == 3 else dst[:, :, 0]
+            return buf.clone_with(out)
         out = src[:, ::-1] if self.horizontal else src[::-1]
         return buf.clone_with(np.ascontiguousarray(out))
 
@@ -218,14 +229,53 @@ def _yuv_to_rgb(buf: Buffer) -> np.ndarray:
 
 
 class Normalize(BufferOperator):
-    """(x - mean) / std, output float32."""
+    """(x - mean) / std, output float32.
 
-    def __init__(self, mean: float, std: float):
-        self.mean, self.std = float(mean), float(std)
+    mean/std may be scalars or per-channel sequences (the reference's
+    per-channel normalize the round-1 tier lacked); per-channel applies
+    over the last (channel) axis of an interleaved HWC buffer."""
+
+    def __init__(self, mean, std):
+        self.per_channel = (
+            isinstance(mean, (list, tuple, np.ndarray))
+            or isinstance(std, (list, tuple, np.ndarray))
+        )
+        if self.per_channel:
+            self.mean = np.asarray(mean, np.float32).reshape(-1)
+            self.std = np.asarray(std, np.float32).reshape(-1)
+            if self.mean.size != self.std.size:
+                if self.mean.size == 1:
+                    self.mean = np.full_like(self.std, self.mean[0])
+                elif self.std.size == 1:
+                    self.std = np.full_like(self.mean, self.std[0])
+                else:
+                    raise BandError("mean/std channel counts differ")
+        else:
+            self.mean, self.std = float(mean), float(std)
 
     def process(self, buf: Buffer) -> Buffer:
         src = np.ascontiguousarray(buf.array())
         lib = load_native()
+        if self.per_channel:
+            c = src.shape[-1] if src.ndim == 3 else 1
+            if c != self.mean.size:
+                raise BandError(
+                    f"per-channel normalize: {self.mean.size} channels "
+                    f"configured, buffer has {c}"
+                )
+            if lib is not None and src.dtype == np.uint8 and src.ndim == 3:
+                dst = np.empty(src.shape, np.float32)
+                inv = np.ascontiguousarray(1.0 / self.std)
+                mean = np.ascontiguousarray(self.mean)
+                f32p = ctypes.POINTER(ctypes.c_float)
+                lib.normalize_u8_f32_perchannel(
+                    _u8ptr(src), src.shape[0] * src.shape[1], c,
+                    mean.ctypes.data_as(f32p), inv.ctypes.data_as(f32p),
+                    dst.ctypes.data_as(f32p),
+                )
+            else:
+                dst = (src.astype(np.float32) - self.mean) / self.std
+            return buf.clone_with(dst)
         if lib is not None and src.dtype == np.uint8:
             dst = np.empty(src.shape, np.float32)
             lib.normalize_u8_f32(

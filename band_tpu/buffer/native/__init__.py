@@ -52,5 +52,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.flip_u8.argtypes = [u8p, i, i, i, i, u8p]
         lib.normalize_u8_f32.argtypes = [u8p, i, ctypes.c_float,
                                          ctypes.c_float, f32p]
+        lib.normalize_u8_f32_perchannel.argtypes = [u8p, i, i, f32p,
+                                                    f32p, f32p]
         _lib = lib
         return _lib

@@ -72,15 +72,36 @@ static inline void yuv_to_rgb_px(int y, int u, int v, uint8_t* out) {
 }
 
 // NV12/NV21 (semiplanar) -> RGB. uv_order: 0 = UV (NV12), 1 = VU (NV21)
+// Pixel pairs share one UV sample: hoist the three chroma products per
+// pair (halves the multiplies; the libyuv row kernels exploit the same
+// structure with SIMD).
 void nv_to_rgb_u8(const uint8_t* y_plane, const uint8_t* uv_plane, int h,
                   int w, int uv_order, uint8_t* dst) {
+  const int uo = uv_order ? 1 : 0;
   for (int yy = 0; yy < h; ++yy) {
     const uint8_t* uv_row = uv_plane + (yy / 2) * w;
-    for (int xx = 0; xx < w; ++xx) {
-      int uv_idx = (xx / 2) * 2;
-      int u = uv_row[uv_idx + (uv_order ? 1 : 0)];
-      int v = uv_row[uv_idx + (uv_order ? 0 : 1)];
-      yuv_to_rgb_px(y_plane[yy * w + xx], u, v, dst + (yy * w + xx) * 3);
+    const uint8_t* yrow = y_plane + yy * w;
+    uint8_t* drow = dst + static_cast<size_t>(yy) * w * 3;
+    int xx = 0;
+    for (; xx + 1 < w; xx += 2) {
+      const int d = uv_row[xx + uo] - 128;
+      const int e = uv_row[xx + 1 - uo] - 128;
+      const int ruv = 409 * e + 128;
+      const int guv = -100 * d - 208 * e + 128;
+      const int buv = 516 * d + 128;
+      for (int k = 0; k < 2; ++k) {
+        const int c = 298 * (yrow[xx + k] - 16);
+        int r = (c + ruv) >> 8, g = (c + guv) >> 8, b = (c + buv) >> 8;
+        uint8_t* out = drow + (xx + k) * 3;
+        out[0] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
+        out[1] = static_cast<uint8_t>(g < 0 ? 0 : (g > 255 ? 255 : g));
+        out[2] = static_cast<uint8_t>(b < 0 ? 0 : (b > 255 ? 255 : b));
+      }
+    }
+    for (; xx < w; ++xx) {
+      const int idx = (xx / 2) * 2;
+      yuv_to_rgb_px(yrow[xx], uv_row[idx + uo], uv_row[idx + 1 - uo],
+                    drow + xx * 3);
     }
   }
 }
@@ -127,14 +148,34 @@ void rotate_u8(const uint8_t* src, int h, int w, int c, int k, uint8_t* dst) {
   }
 }
 
-// Horizontal / vertical flip
+// Horizontal / vertical flip.  Vertical is whole-row memcpy; horizontal
+// has a vectorizable c=3 pixel loop.
 void flip_u8(const uint8_t* src, int h, int w, int c, int horizontal,
              uint8_t* dst) {
+  if (!horizontal) {
+    const size_t row = static_cast<size_t>(w) * c;
+    for (int y = 0; y < h; ++y) {
+      std::memcpy(dst + y * row, src + (h - 1 - y) * row, row);
+    }
+    return;
+  }
+  if (c == 3) {
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* srow = src + static_cast<size_t>(y) * w * 3;
+      uint8_t* drow = dst + static_cast<size_t>(y) * w * 3;
+      for (int x = 0; x < w; ++x) {
+        const uint8_t* p = srow + (w - 1 - x) * 3;
+        drow[x * 3 + 0] = p[0];
+        drow[x * 3 + 1] = p[1];
+        drow[x * 3 + 2] = p[2];
+      }
+    }
+    return;
+  }
   for (int y = 0; y < h; ++y) {
     for (int x = 0; x < w; ++x) {
-      int sy = horizontal ? y : (h - 1 - y);
-      int sx = horizontal ? (w - 1 - x) : x;
-      std::memcpy(dst + (y * w + x) * c, src + (sy * w + sx) * c, c);
+      std::memcpy(dst + (static_cast<size_t>(y) * w + x) * c,
+                  src + (static_cast<size_t>(y) * w + (w - 1 - x)) * c, c);
     }
   }
 }
@@ -144,6 +185,29 @@ void normalize_u8_f32(const uint8_t* src, int n, float mean, float inv_std,
                       float* dst) {
   for (int i = 0; i < n; ++i) {
     dst[i] = (src[i] - mean) * inv_std;
+  }
+}
+
+// Per-channel normalize (interleaved HWC): dst[i*c+k] =
+// (src[i*c+k] - mean[k]) * inv_std[k].  Specialized c=3 body so the
+// compiler vectorizes the pixel loop (the common RGB case).
+void normalize_u8_f32_perchannel(const uint8_t* src, int n_px, int c,
+                                 const float* mean, const float* inv_std,
+                                 float* dst) {
+  if (c == 3) {
+    const float m0 = mean[0], m1 = mean[1], m2 = mean[2];
+    const float s0 = inv_std[0], s1 = inv_std[1], s2 = inv_std[2];
+    for (int i = 0; i < n_px; ++i) {
+      dst[i * 3 + 0] = (src[i * 3 + 0] - m0) * s0;
+      dst[i * 3 + 1] = (src[i * 3 + 1] - m1) * s1;
+      dst[i * 3 + 2] = (src[i * 3 + 2] - m2) * s2;
+    }
+    return;
+  }
+  for (int i = 0; i < n_px; ++i) {
+    for (int k = 0; k < c; ++k) {
+      dst[i * c + k] = (src[i * c + k] - mean[k]) * inv_std[k];
+    }
   }
 }
 

@@ -20,6 +20,14 @@ from ..backend.program import SubgraphProgram
 from .sharding import batch_sharding, param_shardings
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh crosses hosts (outputs must then be gathered
+    back to replicated so the driver process can materialize them)."""
+    return len({
+        getattr(d, "process_index", 0) for d in mesh.devices.flat
+    }) > 1
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     dp: int = 1,
@@ -45,19 +53,34 @@ class ShardedProgram:
         prog: SubgraphProgram,
         mesh: Mesh,
         batch_size: int = 1,
+        replicate_outputs: Optional[bool] = None,
     ):
         self.prog = prog
         self.mesh = mesh
         self.batch_size = batch_size
+        if replicate_outputs is None:
+            # cross-host meshes gather outputs so the driver process
+            # can fetch them (serving results leave from the driver)
+            replicate_outputs = mesh_spans_processes(mesh)
         base = prog.make_fn()
 
         def single(params, inputs):
             return base(params, list(inputs))
 
         if batch_size > 1:
-            fn = jax.vmap(single, in_axes=(None, 0))
+            inner = jax.vmap(single, in_axes=(None, 0))
         else:
-            fn = single
+            inner = single
+        if replicate_outputs:
+            rep = NamedSharding(mesh, P())
+
+            def fn(params, inputs):
+                return [
+                    jax.lax.with_sharding_constraint(o, rep)
+                    for o in inner(params, inputs)
+                ]
+        else:
+            fn = inner
         p_shard = param_shardings(prog, mesh)
         in_shard = (
             [batch_sharding(mesh) for _ in prog.input_ids]
@@ -95,6 +118,7 @@ def make_batched_fn(prog: SubgraphProgram, mesh: Mesh, batch: int):
     base = prog.make_fn()
     n_pos = len(prog.input_ids)
     dp = mesh.shape.get("dp", 1)
+    replicate_outputs = mesh_spans_processes(mesh)
 
     def single(params, inputs):
         return base(params, list(inputs))
@@ -112,6 +136,13 @@ def make_batched_fn(prog: SubgraphProgram, mesh: Mesh, batch: int):
                 )
             stacked.append(s)
         outs = jax.vmap(single, in_axes=(None, 0))(params, tuple(stacked))
+        if replicate_outputs:
+            # cross-host window: gather results to every host so the
+            # driver can hand them back to requesters
+            rep = NamedSharding(mesh, P())
+            outs = [
+                jax.lax.with_sharding_constraint(o, rep) for o in outs
+            ]
         return tuple(tuple(o[b] for o in outs) for b in range(batch))
 
     p_shard = param_shardings(prog, mesh)

