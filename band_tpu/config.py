@@ -120,6 +120,11 @@ class WorkerSpec:
     # pool is process-global so this is informational (the operative
     # per-worker control is cpu_mask on the dispatch thread).
     num_threads: int = 1
+    # executor backend for this worker (reference: BackendFactory
+    # registry, band/backend_factory.h:195-203).  "xla" is the default
+    # and only built-in; custom backends register via
+    # band_tpu.backend.factory.register_backend.
+    backend: str = "xla"
     # device-recovery probing (reference: band/config.h:53 +
     # band/worker.cc:101-110): after a device error the worker reports
     # unavailable and re-probes the failed subgraph every this-many ms
@@ -399,6 +404,7 @@ def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
         availability_check_interval_ms=int(
             entry.get("availability_check_interval_ms", 0)
         ),
+        backend=str(entry.get("backend", "xla")),
     )
 
 

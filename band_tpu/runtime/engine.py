@@ -324,7 +324,7 @@ class Engine(EngineBase):
     def register_model(
         self, model: Model, target_worker: int = -1
     ) -> int:
-        from ..backend.executor import ModelExecutor
+        from ..backend.factory import create_executor
 
         with self._lock:
             model_id = self._model_counter
@@ -348,7 +348,8 @@ class Engine(EngineBase):
         for sdef in defs:
             wid = sdef.worker_id
             if wid not in rec.executors:
-                rec.executors[wid] = ModelExecutor(
+                rec.executors[wid] = create_executor(
+                    self.config.worker.workers[wid].backend,
                     model_id,
                     graph,
                     wid,

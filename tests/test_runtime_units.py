@@ -248,3 +248,60 @@ def test_engine_probe_link_costs_config():
         assert eng.link_costs.table[DCN, 1] == 456
     finally:
         eng.shutdown()
+
+
+def test_backend_factory_seam():
+    """Second-backend seam (reference: band/backend_factory.h:195-203):
+    a custom registered backend is selected per worker and actually
+    serves requests through the engine."""
+    import numpy as np
+
+    import band_tpu as bt
+    from band_tpu.backend.executor import ModelExecutor
+    from band_tpu.backend.factory import (
+        available_backends,
+        create_executor,
+        register_backend,
+    )
+    from band_tpu.errors import ConfigError
+    import pytest as _pytest
+
+    assert "xla" in available_backends()
+    with _pytest.raises(ConfigError):
+        create_executor("no-such-backend", 0, None, 0, [])
+
+    calls = []
+
+    class CountingExecutor(ModelExecutor):
+        def execute(self, key, inputs):
+            calls.append(key)
+            return super().execute(key, inputs)
+
+    register_backend("counting", CountingExecutor)
+    try:
+        from tests.conftest import has_model, model_path
+
+        if not has_model("add"):
+            _pytest.skip("reference model not available")
+        cfg = (
+            bt.RuntimeConfigBuilder()
+            .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+            .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU,
+                                      device_ids=(0,), backend="counting"))
+            .profile_warmups(0)
+            .profile_runs(1)
+            .build()
+        )
+        eng = bt.Engine.create(cfg)
+        try:
+            mid = eng.register_model(bt.Model.from_path(model_path("add")))
+            x = np.ones((1, 8, 8, 3), np.float32)
+            out = eng.request_sync(mid, [x])
+            np.testing.assert_allclose(out[0], 3 * x, rtol=1e-5)
+            assert calls, "custom backend executor was never invoked"
+        finally:
+            eng.shutdown()
+    finally:
+        from band_tpu.backend import factory as F
+
+        F._REGISTRY.pop("counting", None)
