@@ -121,31 +121,89 @@ DEFAULT_ROUNDING = "single"
 
 def _shr64_floor(hi: jnp.ndarray, lo: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Arithmetic (floor) right shift of a 64-bit (hi,lo) value by t in
-    [1, 62], returning the low 32 bits of the result as int32."""
-    t = jnp.asarray(t, jnp.uint32)
-    t_lo = jnp.clip(t, 1, 31)
-    t_hi = jnp.clip(t - 32, 0, 31)
+    [1, 62], returning the low 32 bits of the result as int32.
+
+    Clamps run in SIGNED int32: this code executes both under XLA and
+    inside Pallas kernels (ops/pallas/qmatmul.py), and Mosaic does not
+    legalize unsigned vector min/max (arith.maxui)."""
+    ti = jnp.asarray(t, jnp.int32)
+    t_lo = jnp.clip(ti, 1, 31).astype(jnp.uint32)
+    t_hi = jnp.clip(ti - 32, 0, 31)
     # t < 32: (hi << (32-t)) | (lo >> t)
     small = ((hi << (32 - t_lo)) | (lo >> t_lo)).astype(jnp.int32)
     # t >= 32: asr(hi, t-32)
-    big = (hi.astype(jnp.int32) >> t_hi.astype(jnp.int32))
-    return jnp.where(t < 32, small, big)
+    big = hi.astype(jnp.int32) >> t_hi
+    return jnp.where(ti < 32, small, big)
 
 
 def _mbqm_single(x: jnp.ndarray, qm: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    """Single-rounding MBQM: floor((x*qm + 2^(t-1)) >> t), t = 31 - shift."""
-    t = (31 - jnp.asarray(shift, jnp.int32)).astype(jnp.uint32)
+    """Single-rounding MBQM: floor((x*qm + 2^(t-1)) >> t), t = 31 - shift.
+    Clamps in signed int32 for Mosaic compatibility (see _shr64_floor)."""
+    t = 31 - jnp.asarray(shift, jnp.int32)
     hi, lo = _mul64(x, jnp.asarray(qm, jnp.int32))
     # round constant 2^(t-1) as 64-bit (r_hi, r_lo)
     tm1 = t - 1
-    r_lo = jnp.where(tm1 < 32, jnp.uint32(1) << jnp.clip(tm1, 0, 31),
-                     jnp.uint32(0))
-    r_hi = jnp.where(tm1 >= 32, jnp.uint32(1) << jnp.clip(tm1 - 32, 0, 31),
-                     jnp.uint32(0))
+    r_lo = jnp.where(
+        tm1 < 32,
+        jnp.uint32(1) << jnp.clip(tm1, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    r_hi = jnp.where(
+        tm1 >= 32,
+        jnp.uint32(1) << jnp.clip(tm1 - 32, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
     lo2 = lo + r_lo
     carry = (lo2 < lo).astype(jnp.uint32)
     hi2 = hi + r_hi + carry
     return _shr64_floor(hi2, lo2, t)
+
+
+def _collapsed_double_pipeline(
+    x: jnp.ndarray, qm: jnp.ndarray, right: jnp.ndarray, rounding: str
+) -> jnp.ndarray:
+    """SRDHM followed by a rounding right shift, collapsed to ONE
+    64-bit add + ONE shift of the raw product P = x*qm (qm > 0).
+
+    gemmlowp's SRDHM (qm > 0, so never the saturating case) is
+    h = trunc((P + nudge)/2^31) with nudge = 2^30 or 1-2^30 by sign —
+    which is UNIFORMLY h = floor((P + 2^30)/2^31) for both signs (the
+    trunc/nudge sign terms cancel).  Composing with the rounding right
+    shift via floor((floor((P+a)/2^31)+c)/2^r) =
+    floor((P + a + c*2^31)/2^(31+r)):
+      ruy    (half UP):          y = floor((P + 2^30 + 2^(30+r)) >> (31+r))
+      double (RDBPOT ties away): y = floor((P + 2^30 + 2^(30+r)
+                                            - [h<0]*2^31) >> (31+r))
+    with [h<0] = [(P + 2^30) < 0].  Verified exact against the
+    reference two-step pipelines over the full int32 range for every
+    r in [0, 30] (tests/test_quant.py) and by the model-level oracle
+    tests.  This is the serving hot path: round-1's two-step limb
+    pipeline cost 2-4x the conv MACs themselves at 112^2 activations
+    (docs/performance.md round-2 notes)."""
+    hi, lo = _mul64(x, qm)  # P as (hi, lo) limbs
+    # sum0 = P + 2^30
+    lo1 = lo + jnp.uint32(1 << 30)
+    hi1 = hi + (lo1 < lo).astype(jnp.uint32)
+    e = 30 + right  # in [31, 61] when right > 0
+    add_lo = jnp.where(
+        (right > 0) & (e < 32),
+        jnp.uint32(1) << jnp.clip(e, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    add_hi = jnp.where(
+        (right > 0) & (e >= 32),
+        jnp.uint32(1) << jnp.clip(e - 32, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    if rounding != "ruy":  # gemmlowp double rounding: - [h<0]*2^31
+        hneg = (hi1.astype(jnp.int32) < 0) & (right > 0)
+        sub_lo = hneg.astype(jnp.uint32) << 31
+        borrow = (sub_lo > add_lo).astype(jnp.uint32)
+        add_lo = add_lo - sub_lo
+        add_hi = add_hi - borrow
+    lo2 = lo1 + add_lo
+    hi2 = hi1 + add_hi + (lo2 < lo1).astype(jnp.uint32)
+    return _shr64_floor(hi2, lo2, (31 + right).astype(jnp.uint32))
 
 
 def multiply_by_quantized_multiplier(
@@ -160,13 +218,22 @@ def multiply_by_quantized_multiplier(
     left = jnp.maximum(shift, 0)
     right = jnp.maximum(-shift, 0)
     shifted = x * (jnp.int32(1) << left)
+    return _collapsed_double_pipeline(shifted, qm, right, rounding)
+
+
+def _reference_two_step(
+    x: jnp.ndarray, qm: jnp.ndarray, shift: jnp.ndarray, rounding: str
+) -> jnp.ndarray:
+    """The literal two-step pipeline (SRDHM then rounding shift), kept
+    as the behavioral reference for the collapsed hot path above
+    (tests/test_quant.py asserts equivalence on randomized inputs)."""
+    left = jnp.maximum(shift, 0)
+    right = jnp.maximum(-shift, 0)
+    shifted = x * (jnp.int32(1) << left)
     high = _srdhm(shifted, qm)
     if rounding == "ruy":
-        # ruy's rounding right shift: floor((x + 2^(e-1)) >> e), i.e. round
-        # half UP — this is what cpu_backend_gemm-based conv kernels do.
-        # Computed as (x >> e) + ((x_low + half) >> e) so a near-saturated
-        # positive x cannot wrap int32 (hardware vrshlq rounds exactly;
-        # the naive x + half would flip sign at the top of the range)
+        # ruy's rounding right shift: floor((x + 2^(e-1)) >> e) — round
+        # half UP, computed wrap-safely
         half = jnp.where(right > 0,
                          jnp.int32(1) << jnp.maximum(right - 1, 0),
                          jnp.int32(0))

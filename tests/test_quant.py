@@ -132,3 +132,43 @@ def test_lut_softmax_bit_exact_vs_interpreter():
         jnp.asarray(sm_in), table, float(out_td.quant.scale[0]),
         int(out_td.quant.zero_point[0]), out_td.dtype))
     np.testing.assert_array_equal(ours, sm_out)
+
+
+def test_collapsed_pipeline_matches_two_step():
+    """The collapsed one-add-one-shift requant (serving hot path) must
+    equal the literal SRDHM+rounding-shift reference bit-for-bit over
+    the full int32 range, both rounding flavors, all shifts."""
+    import numpy as np
+
+    from band_tpu.ops.quant import (
+        _reference_two_step,
+        multiply_by_quantized_multiplier,
+    )
+
+    rng = np.random.default_rng(0)
+    for rounding in ("ruy", "double"):
+        for shift in [0, -1, -2, -5, -9, -14, -21, -30, 1, 3]:
+            x = rng.integers(-(1 << 31), 1 << 31, 20000).astype(np.int32)
+            # include boundary accumulators
+            x[:6] = [0, 1, -1, (1 << 31) - 1, -(1 << 31), -(1 << 29)]
+            qm = rng.integers(1 << 30, 1 << 31, 20000).astype(np.int32)
+            got = np.asarray(
+                multiply_by_quantized_multiplier(x, qm, shift, rounding)
+            )
+            want = np.asarray(
+                _reference_two_step(x, qm, np.int32(shift), rounding)
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"{rounding} shift={shift}")
+
+    # per-channel shift arrays (the conv case)
+    x = rng.integers(-(1 << 26), 1 << 26, (4, 8, 8, 16)).astype(np.int32)
+    qm = rng.integers(1 << 30, 1 << 31, 16).astype(np.int32)
+    shift = rng.integers(-12, 0, 16).astype(np.int32)
+    for rounding in ("ruy", "double"):
+        got = np.asarray(
+            multiply_by_quantized_multiplier(x, qm, shift, rounding)
+        )
+        want = np.asarray(
+            _reference_two_step(x, qm, shift, rounding)
+        )
+        np.testing.assert_array_equal(got, want)
