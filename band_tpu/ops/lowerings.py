@@ -556,25 +556,28 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     x, _ = _to_int8_domain(x, 0)
     x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
                     constant_values=np.int8(xzp))
-    # Narrow-channel stride-1 depthwise runs on the Pallas VPU kernel:
-    # XLA's grouped-conv lowering wastes 1 - C/128 of the lanes and is
+    # Narrow-channel depthwise runs on the Pallas VPU kernel: XLA's
+    # grouped-conv lowering wastes 1 - C/128 of the lanes and is
     # 1.3-5x slower for C <= 64 (docs/performance.md); the kernel keeps
     # all lanes busy in the flattened [H, W*C] layout and fuses the
-    # bit-exact requant.
+    # bit-exact requant.  Strided layers ride the same kernel via phase
+    # pre-splitting (qdwconv.py).
     out_td = g.tensor(op.outputs[0])
     if (
         ctx.conv_mode == "int8"
         and ctx.exact
         and mult == 1
-        and strides == (1, 1)
         and dil == (1, 1)
         and ci <= 64
     ):
         from .pallas.qdwconv import pick_tile_h, qdwconv2d_exact
 
-        oh = x_pad.shape[1] - kh + 1
-        ow = x_pad.shape[2] - kw + 1
-        if pick_tile_h(oh, kh, kw, x_pad.shape[2] * ci, ow * ci) is not None:
+        sh_, sw_ = strides
+        oh = (x_pad.shape[1] - kh) // sh_ + 1
+        ow = (x_pad.shape[2] - kw) // sw_ + 1
+        if pick_tile_h(oh, kh, kw,
+                       sh_ * sw_ * (ow + (kw - 1) // sw_) * ci,
+                       ow * ci, sh_, sw_) is not None:
             qm = jnp.broadcast_to(
                 jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1),
                 (ci,))
@@ -584,6 +587,7 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
             out = qdwconv2d_exact(
                 x_pad, w.reshape(kh * kw, ci).astype(jnp.int32),
                 ctx.param(op, "bias"), qm, shift, kh=kh, kw=kw,
+                sh=sh_, sw=sw_,
                 out_zp=int(ctx.smeta(op, "out_zp")),
                 qmin=int(ctx.smeta(op, "qmin")),
                 qmax=int(ctx.smeta(op, "qmax")),
@@ -1770,7 +1774,14 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
 
     pb_h, pb_w = _tconv_pads(o, in_h, in_w, kh, kw, sh, sw, out_h, out_w)
     dn = ("NHWC", "HWIO", "NHWC")
-    acc = jnp.zeros((n, out_h, out_w, oc), acc_dtype)
+    # Quant path: bias + the exact requant run PER PHASE (elementwise
+    # per-out-channel, so phase-wise application is bit-identical), so
+    # the s^2 phase results interleave as int8 — 4x fewer bytes moved
+    # than interleaving the int32 accumulator, and XLA fuses the requant
+    # epilogue into each phase conv.  Float path keeps the int32/float
+    # scatter accumulator.
+    acc = None if quant else jnp.zeros((n, out_h, out_w, oc), acc_dtype)
+    phases_out = {}
     for rh, (u0h, kah, offh, th) in enumerate(
             _tconv_phases(kh, sh, pb_h, out_h)):
         for rw, (u0w, kaw, offw, tw) in enumerate(
@@ -1807,12 +1818,42 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
                         xs, wp, (1, 1), "VALID", dimension_numbers=dn,
                         preferred_element_type=jnp.float32,
                     )
-            acc = acc.at[:, rh:rh + sh * th:sh, rw:rw + sw * tw:sw, :].set(
-                acc_p)
+            if quant:
+                acc_p = acc_p + ctx.param(op, "bias")
+                phases_out[(rh, rw)] = _conv_requant(ctx, op, acc_p)
+            else:
+                acc = acc.at[:, rh:rh + sh * th:sh,
+                             rw:rw + sw * tw:sw, :].set(acc_p)
 
     if quant:
-        acc = acc + ctx.param(op, "bias")
-        ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
+        out_dt = g.tensor(op.outputs[0]).dtype
+        shapes = {k: v.shape for k, v in phases_out.items()}
+        even = (
+            out_h % sh == 0 and out_w % sw == 0
+            and len(phases_out) == sh * sw
+            and all(s_[1] == out_h // sh and s_[2] == out_w // sw
+                    for s_ in shapes.values())
+        )
+        if even:
+            # perfect tiling: interleave = pixel shuffle (pure relayout,
+            # no scatter)
+            th, tw = out_h // sh, out_w // sw
+            stack = jnp.stack(
+                [phases_out[(rh, rw)]
+                 for rh in range(sh) for rw in range(sw)],
+                axis=3,
+            )  # [n, th, tw, sh*sw, oc]
+            res = (
+                stack.reshape(n, th, tw, sh, sw, oc)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, out_h, out_w, oc)
+            )
+        else:
+            res = jnp.zeros((n, out_h, out_w, oc), out_dt)
+            for (rh, rw), p in phases_out.items():
+                res = res.at[:, rh:rh + sh * p.shape[1]:sh,
+                             rw:rw + sw * p.shape[2]:sw, :].set(p)
+        ctx.set(op.outputs[0], res)
     else:
         if f"op{op.index}/bias" in ctx.params:
             acc = acc + ctx.param(op, "bias")

@@ -16,7 +16,15 @@ counts.  This kernel runs the op at the VPU's native layout instead:
   - the exact TFLite requant pipeline (ops/quant.py) runs in the same
     program, so the int32 accumulator never leaves VMEM.
 
-Stride-1 only (stride-2 depthwise layers go through the lax path).
+Strided depthwise (e.g. the stride-2 layers of ICN/mobilenet) is
+handled by phase pre-splitting OUTSIDE the kernel: the padded input is
+split into sh*sw phase planes P[a][b] = x[a::sh, b::sw] (a cheap XLA
+strided-slice relayout), after which tap (dy, dx) of the strided conv
+is a contiguous lane slice of plane (dy%sh, dx%sw) at row dy//sh, lane
+(dx//sw)*C — identical inner-loop structure to stride 1, every lane
+busy, nothing strided inside the kernel.  Stride 1 is the 1-plane case
+of the same kernel.
+
 Reference behavior: TFLite DEPTHWISE_CONV_2D int8/uint8 kernels
 (invoked by band/backend/tfl/model_executor.cc ExecuteSubgraph).
 """
@@ -40,26 +48,35 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = int(2.5 * 1024 * 1024)
 
 
-def _vmem_estimate(th: int, kh: int, kw: int, wpc: int, owc: int) -> int:
-    band = (th + kh - 1) * wpc          # int8 input band
-    acc = 4 * th * owc                  # int32 accumulator
-    tap = 4 * th * owc                  # int32 shifted view
+def _band_rows(th: int, kh: int, sh: int) -> int:
+    """Phase-plane rows one band of th output rows reads."""
+    return th + (kh - 1) // sh
+
+
+def _vmem_estimate(th: int, kh: int, kw: int, sh: int, sw: int,
+                   wpc: int, owc: int) -> int:
+    # wpc here is the total lane width across all phase planes of one
+    # band row (nph * plane_cols * c), i.e. the same input bytes as the
+    # unsplit stride-1 band.
+    band = _band_rows(th, kh, sh) * wpc   # int8 input band
+    acc = 4 * th * owc                    # int32 accumulator
+    tap = 4 * th * owc                    # int32 shifted view
     consts = 4 * 3 * owc + 4 * kh * kw * owc  # per-tap weights are int32
     return band + acc + tap + consts + th * owc
 
 
-def pick_tile_h(oh: int, kh: int, kw: int, wpc: int,
-                owc: int) -> Optional[int]:
+def pick_tile_h(oh: int, kh: int, kw: int, wpc: int, owc: int,
+                sh: int = 1, sw: int = 1) -> Optional[int]:
     for th in sorted((d for d in range(1, oh + 1) if oh % d == 0),
                      reverse=True):
-        if _vmem_estimate(th, kh, kw, wpc, owc) <= _VMEM_BUDGET:
+        if _vmem_estimate(th, kh, kw, sh, sw, wpc, owc) <= _VMEM_BUDGET:
             return th
     return None
 
 
 def _qdwconv_kernel(x_ref, w_ref, bias_ref, qm_ref, shift_ref, out_ref, *,
-                    kh: int, kw: int, th: int, c: int, owc: int,
-                    w_zp: int, out_zp: int, qmin: int, qmax: int,
+                    kh: int, kw: int, sh: int, sw: int, th: int, c: int,
+                    owc: int, w_zp: int, out_zp: int, qmin: int, qmax: int,
                     rounding: str):
     from .. import quant as Q
 
@@ -67,7 +84,10 @@ def _qdwconv_kernel(x_ref, w_ref, bias_ref, qm_ref, shift_ref, out_ref, *,
     rs = None
     for dy in range(kh):
         for dx in range(kw):
-            v = x_ref[0, 0, dy:dy + th, dx * c:dx * c + owc]
+            plane = (dy % sh) * sw + (dx % sw)
+            r0 = dy // sh
+            l0 = (dx // sw) * c
+            v = x_ref[0, 0, plane, r0:r0 + th, l0:l0 + owc]
             vi = v.astype(jnp.int32)
             part = vi * w_ref[dy * kw + dx, :]
             acc = part if acc is None else acc + part
@@ -84,17 +104,19 @@ def _qdwconv_kernel(x_ref, w_ref, bias_ref, qm_ref, shift_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kh", "kw", "out_zp", "qmin", "qmax", "rounding",
-                     "w_zp", "out_dtype", "tile_h", "interpret"),
+    static_argnames=("kh", "kw", "sh", "sw", "out_zp", "qmin", "qmax",
+                     "rounding", "w_zp", "out_dtype", "tile_h", "interpret"),
 )
 def qdwconv2d_exact(
-    x_pad: jax.Array,   # [N, OH+kh-1, OW+kw-1, C] int8, zp-padded
+    x_pad: jax.Array,   # [N, (OH-1)*sh+kh, (OW-1)*sw+kw, C] int8, zp-padded
     w: jax.Array,       # [kh*kw, C] int32 per-tap weight rows
     bias: jax.Array,    # [C] int32 (zero-point-folded)
     qm: jax.Array,      # [C] int32 fixed-point multipliers
     shift: jax.Array,   # [C] int32
     kh: int,
     kw: int,
+    sh: int = 1,
+    sw: int = 1,
     out_zp: int = 0,
     qmin: int = -128,
     qmax: int = 127,
@@ -105,22 +127,42 @@ def qdwconv2d_exact(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     n, hp, wp, c = x_pad.shape
-    oh, ow = hp - kh + 1, wp - kw + 1
+    oh, ow = (hp - kh) // sh + 1, (wp - kw) // sw + 1
     assert w.shape == (kh * kw, c), (w.shape, kh, kw, c)
-    wpc, owc = wp * c, ow * c
+    owc = ow * c
+    # phase planes: plane (a, b) holds x_pad[a::sh, b::sw]; plane (a, b)
+    # natively has exactly oh-1+ceil((kh-a)/sh) rows = oh+(kh-1-a)//sh,
+    # pad all to the a=0 extent (padding is never read by that plane's
+    # own taps)
+    prow = oh + (kh - 1) // sh
+    pcol = ow + (kw - 1) // sw
+    planes = []
+    for a in range(sh):
+        for b in range(sw):
+            p = x_pad[:, a::sh, b::sw, :]
+            pr, pc = p.shape[1], p.shape[2]
+            p = p[:, :min(pr, prow), :min(pc, pcol), :]
+            dr, dc = prow - p.shape[1], pcol - p.shape[2]
+            if dr or dc:
+                p = jnp.pad(p, ((0, 0), (0, dr), (0, dc), (0, 0)))
+            planes.append(p.reshape(n, prow, pcol * c))
+    nph = sh * sw
+    xph = jnp.stack(planes, axis=1) if nph > 1 else planes[0].reshape(
+        n, 1, prow, pcol * c)
+    w2c = pcol * c
+
     if tile_h is None:
-        tile_h = pick_tile_h(oh, kh, kw, wpc, owc)
+        tile_h = pick_tile_h(oh, kh, kw, nph * w2c, owc, sh, sw)
     assert tile_h is not None and oh % tile_h == 0, (oh, tile_h)
     nb = oh // tile_h
-    bh = tile_h + kh - 1
+    bh = _band_rows(tile_h, kh, sh)
 
-    x2 = x_pad.reshape(n, hp, wpc)
     if nb == 1:
-        bands = x2.reshape(n, 1, hp, wpc)
+        bands = xph.reshape(n, 1, nph, prow, w2c)
     else:
         bands = jnp.stack(
             [
-                lax.slice_in_dim(x2, b * tile_h, b * tile_h + bh, axis=1)
+                lax.slice_in_dim(xph, b * tile_h, b * tile_h + bh, axis=2)
                 for b in range(nb)
             ],
             axis=1,
@@ -133,8 +175,9 @@ def qdwconv2d_exact(
 
     grid = (n, nb)
     kernel = functools.partial(
-        _qdwconv_kernel, kh=kh, kw=kw, th=tile_h, c=c, owc=owc,
-        w_zp=w_zp, out_zp=out_zp, qmin=qmin, qmax=qmax, rounding=rounding,
+        _qdwconv_kernel, kh=kh, kw=kw, sh=sh, sw=sw, th=tile_h, c=c,
+        owc=owc, w_zp=w_zp, out_zp=out_zp, qmin=qmin, qmax=qmax,
+        rounding=rounding,
     )
     row = pl.BlockSpec((1, owc), lambda i, b: (0, 0),
                        memory_space=pltpu.VMEM)
@@ -144,7 +187,8 @@ def qdwconv2d_exact(
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, bh, wpc), lambda i, b: (i, b, 0, 0),
+                pl.BlockSpec((1, 1, nph, bh, w2c),
+                             lambda i, b: (i, b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((kh * kw, owc), lambda i, b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -155,7 +199,7 @@ def qdwconv2d_exact(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * oh * owc * kh * kw,
-            bytes_accessed=n * nb * bh * wpc + n * oh * owc
+            bytes_accessed=n * nb * nph * bh * w2c + n * oh * owc
             + (kh * kw + 12) * owc,
             transcendentals=0,
         ),
