@@ -6,6 +6,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -71,52 +72,98 @@ static inline void yuv_to_rgb_px(int y, int u, int v, uint8_t* out) {
   out[2] = static_cast<uint8_t>(b < 0 ? 0 : (b > 255 ? 255 : b));
 }
 
+// Shared row kernel for the planar/semiplanar converters.  The scalar
+// per-pixel form (divides for the 4:2:0 chroma index + branchy clamps +
+// interleaved stores) defeats auto-vectorization; restructured as three
+// row passes the compiler vectorizes (the libyuv row-kernel structure):
+//   A. expand the half-res chroma row to full-res int16 d/e rows
+//      (pair-duplicate, unit-stride),
+//   B. fixed-point math + clamp into planar int32 temporaries
+//      (unit-stride, min/max clamps -> vector ops),
+//   C. pure byte interleave into the RGB row.
+// Bit-identical to yuv_to_rgb_px on every input.
+static void yuv_row_to_rgb(const uint8_t* yrow, const int16_t* dful,
+                           const int16_t* eful, int w, uint8_t* drow,
+                           int32_t* rt, int32_t* gt, int32_t* bt) {
+  for (int x = 0; x < w; ++x) {
+    const int32_t c = 298 * (static_cast<int32_t>(yrow[x]) - 16);
+    const int32_t d = dful[x], e = eful[x];
+    int32_t r = (c + 409 * e + 128) >> 8;
+    int32_t g = (c - 100 * d - 208 * e + 128) >> 8;
+    int32_t b = (c + 516 * d + 128) >> 8;
+    rt[x] = r < 0 ? 0 : (r > 255 ? 255 : r);
+    gt[x] = g < 0 ? 0 : (g > 255 ? 255 : g);
+    bt[x] = b < 0 ? 0 : (b > 255 ? 255 : b);
+  }
+  for (int x = 0; x < w; ++x) {
+    drow[x * 3 + 0] = static_cast<uint8_t>(rt[x]);
+    drow[x * 3 + 1] = static_cast<uint8_t>(gt[x]);
+    drow[x * 3 + 2] = static_cast<uint8_t>(bt[x]);
+  }
+}
+
 // NV12/NV21 (semiplanar) -> RGB. uv_order: 0 = UV (NV12), 1 = VU (NV21)
-// Pixel pairs share one UV sample: hoist the three chroma products per
-// pair (halves the multiplies; the libyuv row kernels exploit the same
-// structure with SIMD).
 void nv_to_rgb_u8(const uint8_t* y_plane, const uint8_t* uv_plane, int h,
                   int w, int uv_order, uint8_t* dst) {
   const int uo = uv_order ? 1 : 0;
+  std::vector<int16_t> dful(w), eful(w);
+  std::vector<int32_t> tmp(3 * static_cast<size_t>(w));
+  int32_t* rt = tmp.data();
+  int32_t* gt = rt + w;
+  int32_t* bt = gt + w;
   for (int yy = 0; yy < h; ++yy) {
-    const uint8_t* uv_row = uv_plane + (yy / 2) * w;
-    const uint8_t* yrow = y_plane + yy * w;
-    uint8_t* drow = dst + static_cast<size_t>(yy) * w * 3;
-    int xx = 0;
-    for (; xx + 1 < w; xx += 2) {
-      const int d = uv_row[xx + uo] - 128;
-      const int e = uv_row[xx + 1 - uo] - 128;
-      const int ruv = 409 * e + 128;
-      const int guv = -100 * d - 208 * e + 128;
-      const int buv = 516 * d + 128;
-      for (int k = 0; k < 2; ++k) {
-        const int c = 298 * (yrow[xx + k] - 16);
-        int r = (c + ruv) >> 8, g = (c + guv) >> 8, b = (c + buv) >> 8;
-        uint8_t* out = drow + (xx + k) * 3;
-        out[0] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
-        out[1] = static_cast<uint8_t>(g < 0 ? 0 : (g > 255 ? 255 : g));
-        out[2] = static_cast<uint8_t>(b < 0 ? 0 : (b > 255 ? 255 : b));
+    if ((yy & 1) == 0) {
+      const uint8_t* uv_row = uv_plane + (yy / 2) * w;
+      const int pairs = w / 2;
+      for (int p = 0; p < pairs; ++p) {
+        const int16_t d = static_cast<int16_t>(uv_row[2 * p + uo]) - 128;
+        const int16_t e = static_cast<int16_t>(uv_row[2 * p + 1 - uo]) - 128;
+        dful[2 * p] = d;
+        dful[2 * p + 1] = d;
+        eful[2 * p] = e;
+        eful[2 * p + 1] = e;
+      }
+      if (w % 2) {  // odd width: last pixel uses the last pair's sample
+        dful[w - 1] = static_cast<int16_t>(uv_row[(w / 2) * 2 + uo]) - 128;
+        eful[w - 1] =
+            static_cast<int16_t>(uv_row[(w / 2) * 2 + 1 - uo]) - 128;
       }
     }
-    for (; xx < w; ++xx) {
-      const int idx = (xx / 2) * 2;
-      yuv_to_rgb_px(yrow[xx], uv_row[idx + uo], uv_row[idx + 1 - uo],
-                    drow + xx * 3);
-    }
+    yuv_row_to_rgb(y_plane + static_cast<size_t>(yy) * w, dful.data(),
+                   eful.data(), w, dst + static_cast<size_t>(yy) * w * 3,
+                   rt, gt, bt);
   }
 }
 
 // I420/YV12 (planar) -> RGB
 void i420_to_rgb_u8(const uint8_t* y_plane, const uint8_t* u_plane,
                     const uint8_t* v_plane, int h, int w, uint8_t* dst) {
-  int half_w = w / 2;
+  const int half_w = w / 2;
+  std::vector<int16_t> dful(w), eful(w);
+  std::vector<int32_t> tmp(3 * static_cast<size_t>(w));
+  int32_t* rt = tmp.data();
+  int32_t* gt = rt + w;
+  int32_t* bt = gt + w;
   for (int yy = 0; yy < h; ++yy) {
-    const uint8_t* urow = u_plane + (yy / 2) * half_w;
-    const uint8_t* vrow = v_plane + (yy / 2) * half_w;
-    for (int xx = 0; xx < w; ++xx) {
-      yuv_to_rgb_px(y_plane[yy * w + xx], urow[xx / 2], vrow[xx / 2],
-                    dst + (yy * w + xx) * 3);
+    if ((yy & 1) == 0) {
+      const uint8_t* urow = u_plane + (yy / 2) * half_w;
+      const uint8_t* vrow = v_plane + (yy / 2) * half_w;
+      for (int p = 0; p < half_w; ++p) {
+        const int16_t d = static_cast<int16_t>(urow[p]) - 128;
+        const int16_t e = static_cast<int16_t>(vrow[p]) - 128;
+        dful[2 * p] = d;
+        dful[2 * p + 1] = d;
+        eful[2 * p] = e;
+        eful[2 * p + 1] = e;
+      }
+      if (w % 2) {
+        dful[w - 1] = static_cast<int16_t>(urow[half_w]) - 128;
+        eful[w - 1] = static_cast<int16_t>(vrow[half_w]) - 128;
+      }
     }
+    yuv_row_to_rgb(y_plane + static_cast<size_t>(yy) * w, dful.data(),
+                   eful.data(), w, dst + static_cast<size_t>(yy) * w * 3,
+                   rt, gt, bt);
   }
 }
 
