@@ -132,6 +132,7 @@ class SubgraphProgram:
         def fn(params, inputs):
             ctx = LowerCtx(graph, params, meta, exact=exact,
                            conv_mode=conv_mode)
+            ctx.boundary_inputs = frozenset(input_ids)
             for tid, v in zip(input_ids, inputs):
                 ctx.set(tid, v)
             for oi in op_indices:

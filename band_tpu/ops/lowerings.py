@@ -45,6 +45,12 @@ class LowerCtx:
         self.params = params
         self.meta = meta
         self.env: Dict[int, Any] = {}
+        # tensor ids that enter this program from HBM (subgraph inputs);
+        # set by SubgraphProgram.make_fn.  Kernels whose custom memory
+        # layout would force a relayout of an in-program producer's
+        # output (the Pallas depthwise kernel's flat [H, W*C] view) are
+        # only routed when their input crosses this boundary.
+        self.boundary_inputs: frozenset = frozenset()
         self.exact = exact
         # "int8": native s8xs8->s32 contractions (TPU MXU path).
         # "f32_split": weights split into hi/lo nibbles, two f32 convs
@@ -558,10 +564,15 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
                     constant_values=np.int8(xzp))
     # Narrow-channel depthwise runs on the Pallas VPU kernel: XLA's
     # grouped-conv lowering wastes 1 - C/128 of the lanes and is
-    # 1.3-5x slower for C <= 64 (docs/performance.md); the kernel keeps
-    # all lanes busy in the flattened [H, W*C] layout and fuses the
-    # bit-exact requant.  Strided layers ride the same kernel via phase
-    # pre-splitting (qdwconv.py).
+    # 1.3-5x slower for C <= 64 as a standalone op (docs/
+    # performance.md); the kernel keeps all lanes busy in the flattened
+    # [H, W*C] layout and fuses the bit-exact requant.  Strided layers
+    # ride the same kernel via phase pre-splitting (qdwconv.py).
+    # ONLY when the input enters the program from HBM: mid-model (dw
+    # consuming a conv's output) the relayout into the flat lane view
+    # costs far more than the kernel saves — measured conv0+dw1 of
+    # mobilenet-v2 0.77 ms fused-Pallas vs 0.25 ms XLA, and whole-model
+    # regressions on every dw model (2026-08-20 probes).
     out_td = g.tensor(op.outputs[0])
     if (
         ctx.conv_mode == "int8"
@@ -569,6 +580,7 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
         and mult == 1
         and dil == (1, 1)
         and ci <= 64
+        and op.inputs[0] in ctx.boundary_inputs
     ):
         from .pallas.qdwconv import pick_tile_h, qdwconv2d_exact
 

@@ -67,7 +67,11 @@ def _vmem_estimate(th: int, kh: int, kw: int, sh: int, sw: int,
 
 def pick_tile_h(oh: int, kh: int, kw: int, wpc: int, owc: int,
                 sh: int = 1, sw: int = 1) -> Optional[int]:
-    for th in sorted((d for d in range(1, oh + 1) if oh % d == 0),
+    # Mosaic constraint: the output block's sublane dim must be
+    # divisible by 8 or equal the full array dim (only exercised on
+    # real TPU — interpret mode does not check).
+    for th in sorted((d for d in range(1, oh + 1) if oh % d == 0
+                      and (d == oh or d % 8 == 0)),
                      reverse=True):
         if _vmem_estimate(th, kh, kw, sh, sw, wpc, owc) <= _VMEM_BUDGET:
             return th
