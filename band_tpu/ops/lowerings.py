@@ -1191,7 +1191,13 @@ def _split_v(ctx: LowerCtx, op: OpNode) -> None:
 
 @register("PACK")
 def _pack(ctx: LowerCtx, op: OpNode) -> None:
-    vals = [ctx.arr(t) for t in op.inputs]
+    # constants may carry data in flat (1,) form while the tensor
+    # declares scalar (); normalize every value to its declared shape
+    # (converter SHAPE->PACK preludes mix traced scalars + constants)
+    vals = [
+        ctx.arr(t).reshape(tuple(ctx.graph.tensor(t).shape))
+        for t in op.inputs
+    ]
     ctx.set(op.outputs[0], jnp.stack(vals, axis=op.options.get("axis", 0)))
 
 
@@ -1736,7 +1742,12 @@ def _prepare_transpose_conv(graph: Graph, op: OpNode, exact: bool) -> Dict[str, 
     # folded into a per-phase, per-out-channel constant.
     o = op.options
     sh, sw = o["stride_h"], o["stride_w"]
-    out_shape = graph.tensor(op.inputs[0]).data
+    # the output_shape input may be computed (SHAPE->PACK prelude from
+    # converters with dynamic batch); the IR's static output shape is
+    # authoritative either way
+    out_shape = graph.tensor(op.outputs[0]).shape
+    if out_shape[1] is None or out_shape[1] < 0:
+        out_shape = graph.tensor(op.inputs[0]).data
     out_h, out_w = int(out_shape[1]), int(out_shape[2])
     in_h, in_w = int(x_td.shape[1]), int(x_td.shape[2])
     pb_h, pb_w = _tconv_pads(o, in_h, in_w, kh, kw, sh, sw, out_h, out_w)
@@ -1764,7 +1775,11 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
     g = ctx.graph
     x = ctx.arr(op.inputs[2])
     w = ctx.param(op, "w")
-    out_shape = [int(v) for v in ctx.static(op.inputs[0])]
+    out_td_shape = g.tensor(op.outputs[0]).shape
+    if out_td_shape[1] is not None and out_td_shape[1] > 0:
+        out_shape = [int(v) for v in out_td_shape]
+    else:
+        out_shape = [int(v) for v in ctx.static(op.inputs[0])]
     o = op.options
     sh, sw = o["stride_h"], o["stride_w"]
     kh, kw = w.shape[0], w.shape[1]
