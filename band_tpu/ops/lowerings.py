@@ -245,7 +245,34 @@ def _int_dot(ctx: LowerCtx, x2_i8, w_io):
 
 def _ones_conv(ctx: LowerCtx, x_i8, kh, kw, ci, strides, dil, dn,
                feature_group_count: int = 1):
-    """Window-sum of x via an all-ones kernel (for nonzero weight zp)."""
+    """Window-sum of x (the wzp correction term for nonzero weight zp,
+    i.e. every uint8-weight model: TFLite conv reference kernel's
+    sum_of_inputs term).
+
+    Undilated windows are contiguous boxes, so the sum is computed as
+    an integral image — channel reduce (dense case) + cumsum
+    differences along H then W — pure vector adds instead of an
+    all-ones conv whose 1-wide output occupies a full MXU pass per
+    model conv (measured: the ones-conv roughly doubled every uint8
+    conv's cost; mobilenet-v2-uint8 is wzp=128 on every layer).
+    Exact: integer adds reproduce the conv's int32 sums bit-for-bit.
+    """
+    if dil == (1, 1):
+        xi = x_i8.astype(jnp.int32)
+        if feature_group_count == 1:
+            xi = xi.sum(axis=-1)                     # [N, Hp, Wp]
+        sh, sw = strides
+        cs = jnp.cumsum(xi, axis=1)
+        cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
+        box = cs[:, kh:] - cs[:, :-kh]               # rows summed
+        cs = jnp.cumsum(box, axis=2)
+        cs = jnp.concatenate([jnp.zeros_like(cs[:, :, :1]), cs], axis=2)
+        box = cs[:, :, kw:] - cs[:, :, :-kw]         # full kh*kw boxes
+        box = box[:, ::sh, ::sw]
+        if feature_group_count == 1:
+            box = box[..., None]                     # [N, OH, OW, 1]
+        return box
+    # dilated windows are not contiguous boxes: all-ones conv fallback
     oc = 1 if feature_group_count == 1 else ci
     rhs_ci = ci if feature_group_count == 1 else 1
     if ctx.conv_mode == "int8":
