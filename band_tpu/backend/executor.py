@@ -321,7 +321,7 @@ class ModelExecutor:
         with self._lock:
             cache = self._batched.setdefault(key, {})
             if batch not in cache:
-                base = self._programs[key].make_fn()
+                base = self._programs[key].make_fn(batch_hint=batch)
                 import jax.numpy as jnp
 
                 def fn(params, inputs_batch):

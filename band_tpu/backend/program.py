@@ -119,8 +119,12 @@ class SubgraphProgram:
             for t in self.output_ids
         ]
 
-    def make_fn(self):
-        """Pure function (params, inputs) -> outputs for jax.jit."""
+    def make_fn(self, batch_hint: int = 1):
+        """Pure function (params, inputs) -> outputs for jax.jit.
+
+        batch_hint: the vmap bucket size this fn will run under
+        (continuous batching); lowerings with batch-dependent strategy
+        choices read it (LowerCtx.batch_hint)."""
         graph = self.graph
         op_indices = self.op_indices
         input_ids = self.input_ids
@@ -133,6 +137,7 @@ class SubgraphProgram:
             ctx = LowerCtx(graph, params, meta, exact=exact,
                            conv_mode=conv_mode)
             ctx.boundary_inputs = frozenset(input_ids)
+            ctx.batch_hint = batch_hint
             for tid, v in zip(input_ids, inputs):
                 ctx.set(tid, v)
             for oi in op_indices:

@@ -51,6 +51,12 @@ class LowerCtx:
         # output (the Pallas depthwise kernel's flat [H, W*C] view) are
         # only routed when their input crosses this boundary.
         self.boundary_inputs: frozenset = frozenset()
+        # vmap batch this trace will run under (continuous-batching
+        # bucket size); under vmap the batch dim is invisible to the
+        # trace, so the executor passes it through make_fn.  Lowerings
+        # with batch-dependent strategy choices (window-sum form) read
+        # it.
+        self.batch_hint: int = 1
         self.exact = exact
         # "int8": native s8xs8->s32 contractions (TPU MXU path).
         # "f32_split": weights split into hi/lo nibbles, two f32 convs
@@ -249,15 +255,20 @@ def _ones_conv(ctx: LowerCtx, x_i8, kh, kw, ci, strides, dil, dn,
     i.e. every uint8-weight model: TFLite conv reference kernel's
     sum_of_inputs term).
 
-    Undilated windows are contiguous boxes, so the sum is computed as
-    an integral image — channel reduce (dense case) + cumsum
-    differences along H then W — pure vector adds instead of an
+    Undilated windows are contiguous boxes, so at batch >= 4 the sum is
+    computed as an integral image — channel reduce (dense case) +
+    cumsum differences along H then W — pure vector adds instead of an
     all-ones conv whose 1-wide output occupies a full MXU pass per
-    model conv (measured: the ones-conv roughly doubled every uint8
-    conv's cost; mobilenet-v2-uint8 is wzp=128 on every layer).
-    Exact: integer adds reproduce the conv's int32 sums bit-for-bit.
+    model conv.  At small batch the per-op overhead of the cumsum chain
+    outweighs the MXU saving (mobilenet-v2-uint8, same phase: b1
+    1.30 ms ones-conv vs 3.0 ms integral; b8/batch 13.3 ms ones-conv
+    vs 6.15 ms integral), so b1/b2 keep the fused ones-conv.  Under
+    vmap the batch dim is invisible, hence ctx.batch_hint.
+    Exact either way: integer adds reproduce the conv's int32 sums
+    bit-for-bit.
     """
-    if dil == (1, 1):
+    eff_batch = ctx.batch_hint * int(x_i8.shape[0])
+    if dil == (1, 1) and eff_batch >= 4:
         xi = x_i8.astype(jnp.int32)
         if feature_group_count == 1:
             xi = xi.sum(axis=-1)                     # [N, Hp, Wp]

@@ -115,7 +115,7 @@ def make_batched_fn(prog: SubgraphProgram, mesh: Mesh, batch: int):
     ShardedProgram so every bucket shares one copy of the weights."""
     import jax.numpy as jnp
 
-    base = prog.make_fn()
+    base = prog.make_fn(batch_hint=batch)
     n_pos = len(prog.input_ids)
     dp = mesh.shape.get("dp", 1)
     replicate_outputs = mesh_spans_processes(mesh)

@@ -16,12 +16,13 @@ from band_tpu.ops.lowerings import LowerCtx, _ones_conv
 DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _ctx(conv_mode="f32_split"):
-    class G:  # _ones_conv only touches ctx.conv_mode
-        pass
-
+def _ctx(conv_mode="f32_split", batch_hint=4):
+    # _ones_conv only touches ctx.conv_mode / ctx.batch_hint; hint >= 4
+    # selects the integral-image path under test (small batches keep
+    # the fused ones-conv)
     c = LowerCtx.__new__(LowerCtx)
     c.conv_mode = conv_mode
+    c.batch_hint = batch_hint
     return c
 
 
@@ -63,6 +64,18 @@ def test_integral_matches_ones_conv(case):
     ref = _ref(x, kh, kw, ci, (sh, sw), (1, 1), fg)
     assert got.shape == ref.shape, (got.shape, ref.shape)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_small_batch_keeps_ones_conv_and_matches():
+    """batch_hint < 4 (and batch 1 arrays) selects the fused ones-conv
+    path; values must match the integral form regardless."""
+    rng = np.random.default_rng(1)
+    x = rng.integers(-128, 128, (1, 10, 10, 4)).astype(np.int8)
+    a = np.asarray(_ones_conv(_ctx(batch_hint=1), jnp.asarray(x), 3, 3, 4,
+                              (1, 1), (1, 1), DN))
+    b = np.asarray(_ones_conv(_ctx(batch_hint=8), jnp.asarray(x), 3, 3, 4,
+                              (1, 1), (1, 1), DN))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_dilated_falls_back_to_conv():
