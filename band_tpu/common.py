@@ -168,6 +168,10 @@ class Job:
     input_handle: int = -1
     output_handle: int = -1
     model_fname: str = ""
+    # continuous-batching provenance: how many same-subgraph jobs the
+    # scheduler stacked into this job's dispatch window (1 = alone);
+    # SLO checks price the job at its bucket cost, not the batch-1 cost
+    batch_size: int = 1
     require_callback: bool = True
     # set once the job's outcome is decided (success enqueued, or handed
     # off as a continuation); error-path retirement skips such jobs

@@ -41,6 +41,11 @@ class ProfileConfig:
     num_runs: int = 1
     profile_data_path: str = ""
     smoothing_factor: float = 0.1
+    # online-EMA outlier rejection: each sample is clipped to within
+    # this factor of the current estimate before blending, so transport
+    # spikes can't poison the cost DB (<=1 disables, matching the
+    # reference's plain EMA, band/latency_estimator.cc:32-45)
+    outlier_clip: float = 2.5
 
     def validate(self) -> None:
         if self.num_warmups < 0 or self.num_runs < 1:
@@ -233,6 +238,9 @@ class DistributedConfig:
     process_id: int = -1
     local_device_ids: Optional[Tuple[int, ...]] = None
     auto_detect: bool = False
+    # SPMD serving control plane TCP port (parallel/spmd.py); 0 derives
+    # it from the coordinator port (+1000)
+    control_port: int = 0
 
     @property
     def enabled(self) -> bool:
@@ -433,6 +441,9 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
         b.profile_smoothing_factor(float(prof["smoothing_factor"]))
     if "profile_smoothing_factor" in d:
         b.profile_smoothing_factor(float(d["profile_smoothing_factor"]))
+    for key in ("outlier_clip", "profile_outlier_clip"):
+        if key in prof:
+            b._cfg.profile.outlier_clip = float(prof[key])
 
     planner = d.get("planner", d)
     for s in planner.get("schedulers", []):
@@ -492,6 +503,7 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
                 else None
             ),
             auto_detect=bool(dist.get("auto_detect", False)),
+            control_port=int(dist.get("control_port", 0)),
         )
 
     mon = d.get("resource_monitor", {})

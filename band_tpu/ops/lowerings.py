@@ -268,7 +268,14 @@ def _ones_conv(ctx: LowerCtx, x_i8, kh, kw, ci, strides, dil, dn,
     bit-for-bit.
     """
     eff_batch = ctx.batch_hint * int(x_i8.shape[0])
-    if dil == (1, 1) and eff_batch >= 4:
+    # the W-axis cumsum of row-box sums reaches ~127*ci*kh*Wp in int32
+    # (dense case after the channel reduce) — far beyond the ones-conv
+    # accumulator's ~127*ci*kh*kw; guard statically and fall back to the
+    # conv when a pathological wide/deep input could overflow (ADVICE r2)
+    ci_r = ci if feature_group_count == 1 else 1
+    hp, wp = int(x_i8.shape[1]), int(x_i8.shape[2])
+    cumsum_safe = 127 * ci_r * kh * max(hp, wp) < 2**31
+    if dil == (1, 1) and eff_batch >= 4 and cumsum_safe:
         xi = x_i8.astype(jnp.int32)
         if feature_group_count == 1:
             xi = xi.sum(axis=-1)                     # [N, Hp, Wp]
@@ -1230,12 +1237,21 @@ def _split_v(ctx: LowerCtx, op: OpNode) -> None:
 @register("PACK")
 def _pack(ctx: LowerCtx, op: OpNode) -> None:
     # constants may carry data in flat (1,) form while the tensor
-    # declares scalar (); normalize every value to its declared shape
-    # (converter SHAPE->PACK preludes mix traced scalars + constants)
-    vals = [
-        ctx.arr(t).reshape(tuple(ctx.graph.tensor(t).shape))
-        for t in op.inputs
-    ]
+    # declares scalar (); normalize to the declared shape — but only
+    # when that shape is fully static (a dynamic dim or a runtime shape
+    # that disagrees with the declaration must pass through unchanged,
+    # ADVICE r2)
+    vals = []
+    for t in op.inputs:
+        v = ctx.arr(t)
+        decl = tuple(ctx.graph.tensor(t).shape)
+        static = all(isinstance(s, int) and s > 0 for s in decl) or decl == ()
+        if static and tuple(v.shape) != decl and (
+            ctx.graph.tensor(t).is_constant
+            or int(np.prod(decl or (1,))) == int(np.prod(v.shape or (1,)))
+        ):
+            v = v.reshape(decl)
+        vals.append(v)
     ctx.set(op.outputs[0], jnp.stack(vals, axis=op.options.get("axis", 0)))
 
 

@@ -115,9 +115,12 @@ def make_batched_fn(prog: SubgraphProgram, mesh: Mesh, batch: int):
     ShardedProgram so every bucket shares one copy of the weights."""
     import jax.numpy as jnp
 
-    base = prog.make_fn(batch_hint=batch)
     n_pos = len(prog.input_ids)
     dp = mesh.shape.get("dp", 1)
+    # with dp>1 the stacked batch is sharded across devices, so the
+    # per-device effective batch driving strategy heuristics (e.g. the
+    # integral-image window-sum crossover) is batch/dp (ADVICE r2)
+    base = prog.make_fn(batch_hint=max(batch // max(dp, 1), 1))
     replicate_outputs = mesh_spans_processes(mesh)
 
     def single(params, inputs):

@@ -96,8 +96,10 @@ class EngineBase(abc.ABC):
 
     # --- cost model -------------------------------------------------------
     @abc.abstractmethod
-    def get_expected_latency(self, key: SubgraphKey) -> int:
-        ...
+    def get_expected_latency(self, key: SubgraphKey, batch: int = 1) -> int:
+        """Expected µs of one dispatch of `batch` stacked requests on
+        this key (batch > 1 prices a continuous-batching window at its
+        bucket cost, not `batch` x the single-request cost)."""
 
     @abc.abstractmethod
     def get_worst_latency(self, model_id: int) -> int:
@@ -105,7 +107,9 @@ class EngineBase(abc.ABC):
         reference: engine.cc:476-487)."""
 
     @abc.abstractmethod
-    def update_latency(self, key: SubgraphKey, latency_us: int) -> None:
+    def update_latency(
+        self, key: SubgraphKey, latency_us: int, batch: int = 1
+    ) -> None:
         ...
 
     # --- execution (worker-side) ------------------------------------------

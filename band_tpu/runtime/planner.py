@@ -346,9 +346,13 @@ class Planner:
         if key is None or not key.is_valid():
             self._fail_job(job)
             return
-        # SLO violation check before dispatch (planner.cc:338-347)
+        # SLO violation check before dispatch (planner.cc:338-347) —
+        # priced at the job's stacked-window bucket cost: a job riding a
+        # B-wide batched dispatch finishes when the whole bucket does
         if job.slo_us > 0:
-            expected = max(self.engine.get_expected_latency(key), 0)
+            expected = max(
+                self.engine.get_expected_latency(key, job.batch_size), 0
+            )
             if now_us() - job.enqueue_time + expected > job.slo_us:
                 job.status = JobStatus.SLO_VIOLATION
                 job.end_time = now_us()
@@ -356,7 +360,7 @@ class Planner:
                 return
         job.subgraph_key = key
         job.expected_execution_time = max(
-            self.engine.get_expected_latency(key), 0
+            self.engine.get_expected_latency(key, job.batch_size), 0
         )
         self._update_job_schedule_status(job, key)
         if not self.engine.dispatch(job):

@@ -21,7 +21,7 @@ import collections
 import threading
 import time
 import traceback
-from typing import Deque, List, Optional
+from typing import Deque, Dict, List, Optional
 
 import jax
 
@@ -346,7 +346,7 @@ class Worker:
             return
         end = now_us()
         latency = end - jobs[0].invoke_time
-        self.engine.update_latency(key, latency)
+        self.engine.update_latency(key, latency, batch=len(jobs))
         for j, outs in zip(jobs, outputs_list):
             j.end_time = end
             j.profiled_execution_time = latency
@@ -495,22 +495,44 @@ class DeviceQueueWorker(Worker):
 
     def get_waiting_time(self) -> int:
         """Sum of expected latencies minus progress of the running job
-        (reference: worker_device_queue.cc:44-69)."""
+        (reference: worker_device_queue.cc:44-69).
+
+        Batch-aware: jobs sharing one batched dispatch (same key, same
+        invoke stamp) are priced ONCE at the bucket cost, and queued
+        same-key runs are priced as the batched dispatches _dequeue_many
+        will actually coalesce them into — not as per-job batch-1
+        latencies (which would overcount) nor one batch-1 latency per
+        window (which underestimates ~5x at b8)."""
         if not self.is_available():
             return LARGE_WAITING_TIME
         total = 0
         now = now_us()
+        # group in-flight jobs into their dispatch windows
+        groups: Dict[tuple, List[Job]] = {}
         for cur in list(self._inflight_jobs):
-            expected = self.engine.get_expected_latency(cur.subgraph_key)
+            groups.setdefault(
+                (cur.subgraph_key, cur.invoke_time), []
+            ).append(cur)
+        for (key, invoke_time), grp in groups.items():
+            expected = self.engine.get_expected_latency(key, len(grp))
             if expected < 0:
                 return LARGE_WAITING_TIME
-            elapsed = now - cur.invoke_time if cur.invoke_time else 0
+            elapsed = now - invoke_time if invoke_time else 0
             total += max(expected - elapsed, 0)
-        for job in list(self._queue):
-            expected = self.engine.get_expected_latency(job.subgraph_key)
-            if expected < 0:
-                return LARGE_WAITING_TIME
-            total += expected
+        # simulate the coalescing of the queued jobs into dispatches
+        limit = max(self.spec.max_batch, 1)
+        run_key, run_n = None, 0
+        for job in list(self._queue) + [None]:
+            key = job.subgraph_key if job is not None else None
+            if key == run_key and run_n < limit:
+                run_n += 1
+                continue
+            if run_key is not None and run_n:
+                expected = self.engine.get_expected_latency(run_key, run_n)
+                if expected < 0:
+                    return LARGE_WAITING_TIME
+                total += expected
+            run_key, run_n = key, 1
         return total
 
 
@@ -597,13 +619,16 @@ class GlobalQueueWorker(Worker):
 
     def get_waiting_time(self) -> int:
         """Remaining time of the in-flight dispatch
-        (reference: worker_global_queue.cc:125-164)."""
+        (reference: worker_global_queue.cc:125-164), priced at the
+        batch's bucket cost (the whole stacked window is one program)."""
         if not self.is_available():
             return LARGE_WAITING_TIME
         cur = self._batch[0] if self._batch else None
         if cur is None:
             return 0
-        expected = self.engine.get_expected_latency(cur.subgraph_key)
+        expected = self.engine.get_expected_latency(
+            cur.subgraph_key, len(self._batch)
+        )
         if expected < 0:
             return LARGE_WAITING_TIME
         if not cur.invoke_time:

@@ -70,22 +70,16 @@ class HEFTScheduler(Scheduler):
             queue.remove(best_job)
             idle.discard(best_key.worker_id)
             actions.append((best_job, best_key))
-            expected = self.engine.get_expected_latency(best_key)
-            if expected > 0:
-                waiting[best_key.worker_id] = (
-                    waiting.get(best_key.worker_id, 0) + expected
-                )
             if self.reserve:
                 self._update_reservation(best_job, best_key)
             # continuous batching under a global queue (TPU-native, no
             # reference analogue): stack same-(model, progress) window
             # jobs onto the claimed worker — they ride the SAME batched
-            # device program, so the waiting estimate stays one expected
-            # latency, not a sum
+            # device program
+            stacked = []
             limit = self.engine.get_worker_batch_limit(best_key.worker_id)
             if limit > 1:
                 sig0 = (best_job.model_id, best_job.resolved_unit_subgraphs)
-                stacked = []
                 for job in list(queue)[: self.window]:
                     if len(stacked) >= limit - 1:
                         break
@@ -96,6 +90,19 @@ class HEFTScheduler(Scheduler):
                     actions.append((job, best_key))
                     if self.reserve:
                         self._update_reservation(job, best_key)
+            # the whole window is ONE dispatch, priced at its batch-
+            # bucket cost (NOT batch-1: a b8 bucket costs ~5x b1,
+            # docs/performance.md — batch-blind pricing underestimates
+            # waiting times several-fold under load)
+            n = 1 + len(stacked)
+            best_job.batch_size = n
+            for job in stacked:
+                job.batch_size = n
+            expected = self.engine.get_expected_latency(best_key, n)
+            if expected > 0:
+                waiting[best_key.worker_id] = (
+                    waiting.get(best_key.worker_id, 0) + expected
+                )
         return actions
 
     def _update_reservation(self, job: Job, key: SubgraphKey) -> None:

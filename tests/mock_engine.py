@@ -24,6 +24,9 @@ class MockEngine(EngineBase):
         self._num_workers = num_workers
         self.num_units = num_units_per_model or {}
         self.latency = latency or {}
+        # (key, bucket) -> µs for batch-aware pricing tests; falls back
+        # to the batch-1 table when a bucket has no entry
+        self.batch_latency: Dict[Tuple[SubgraphKey, int], int] = {}
         self.idle_workers: List[int] = list(range(num_workers))
         self.waiting: Dict[int, int] = {w: 0 for w in range(num_workers)}
         self.model_workers: Dict[int, int] = {}
@@ -102,7 +105,11 @@ class MockEngine(EngineBase):
         total = self.num_units.get(key.model_id, 1)
         return len(resolved | key.unit_indices) == total
 
-    def get_expected_latency(self, key):
+    def get_expected_latency(self, key, batch=1):
+        if batch > 1:
+            bucket = 1 << (batch - 1).bit_length()
+            if (key, bucket) in self.batch_latency:
+                return self.batch_latency[(key, bucket)]
         return self.latency.get(key, -1)
 
     def get_worst_latency(self, model_id):
@@ -111,7 +118,7 @@ class MockEngine(EngineBase):
         ]
         return max(vals) if vals else 0
 
-    def update_latency(self, key, latency_us):
+    def update_latency(self, key, latency_us, batch=1):
         pass
 
     def invoke(self, key, inputs):
