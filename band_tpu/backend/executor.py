@@ -219,12 +219,11 @@ class ModelExecutor:
         fn = self._fns[key]
         if len(self.devices) > 1:
             # mesh path: the jitted fn has explicit in_shardings and
-            # reshards host/device arrays itself
+            # reshards host/device arrays itself; host-spanning groups
+            # go through the SPMD channel (announce + sharded placement,
+            # parallel/spmd.py run_window)
             if self._spmd is not None:
-                host_args = [np.asarray(v) for v in inputs]
-                with self._spmd.lock:
-                    self._spmd.announce(key, 0, host_args)
-                    return fn(tuple(host_args))
+                return self._spmd.run_window(self, key, [list(inputs)])[0]
             args = tuple(
                 v if isinstance(v, jax.Array) else np.asarray(v)
                 for v in inputs
@@ -261,7 +260,13 @@ class ModelExecutor:
             # mesh worker: the whole window is ONE sharded dispatch —
             # batch on "dp", weights on "tp" (parallel/mesh.py
             # make_batched_fn); weight shards come from the prepared
-            # single-request placement, shared across buckets
+            # single-request placement, shared across buckets.
+            # Host-spanning groups go through the SPMD channel instead
+            # (metadata announce + per-process dp-row placement).
+            if self._spmd is not None:
+                return self._spmd.run_window(
+                    self, key, [list(ins) for ins in inputs_batch]
+                )
             fn = self._mesh_batched_fn(key, bucket)
             padded = list(inputs_batch) + [inputs_batch[0]] * (bucket - B)
             args = tuple(
@@ -271,21 +276,6 @@ class ModelExecutor:
                 )
                 for ins in padded
             )
-            if self._spmd is not None:
-                # announce the padded window as per-position stacks; the
-                # followers re-split and run the identical bucket program
-                n_pos = len(args[0])
-                stacked = [
-                    np.stack([np.asarray(ins[p]) for ins in args])
-                    for p in range(n_pos)
-                ]
-                host_args = tuple(
-                    tuple(s[b] for s in stacked) for b in range(bucket)
-                )
-                with self._spmd.lock:
-                    self._spmd.announce(key, bucket, stacked)
-                    outs = fn(self._params[key], host_args)
-                return [list(outs[b]) for b in range(B)]
             outs = fn(self._params[key], args)
             return [list(outs[b]) for b in range(B)]
         fn = self._batched_fn(key, bucket)

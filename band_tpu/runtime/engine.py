@@ -131,6 +131,7 @@ class Engine(EngineBase):
             num_runs=config.profile.num_runs,
             profile_data_path=config.profile.profile_data_path,
             config_hash=config_hash(config),
+            outlier_clip=config.profile.outlier_clip,
         )
 
         # workers
@@ -157,16 +158,32 @@ class Engine(EngineBase):
         # (get_transfer_cost_us) and the native decision core (passed by
         # pointer into band_plan_dp) — defaults -> config overrides ->
         # live-transport probe (runtime/link_costs.py)
-        from .link_costs import LinkCostTable, measure as measure_links
+        from .link_costs import (
+            LinkCostTable,
+            load_table as load_links,
+            measure as measure_links,
+            save_table as save_links,
+        )
 
         self.link_costs = LinkCostTable()
+        self._links_path = (
+            config.profile.profile_data_path + ".links.json"
+            if config.profile.profile_data_path
+            else ""
+        )
         if config.link_costs:
             self.link_costs.update_from_dict(config.link_costs)
         if config.probe_link_costs:
-            measure_links(
-                [d for devs in self._worker_devices for d in devs],
-                self.link_costs,
-            )
+            # persisted probed tables are keyed by topology hash, like
+            # the latency profile DB (stale topologies re-probe)
+            if not (self._links_path
+                    and load_links(self._links_path, self.link_costs)):
+                measure_links(
+                    [d for devs in self._worker_devices for d in devs],
+                    self.link_costs,
+                )
+                if self._links_path:
+                    save_links(self.link_costs, self._links_path)
         # native planner decision core (C++, reference parity with the
         # native scheduler layer); None -> pure-Python DP fallback
         from . import native as plan_native
@@ -439,7 +456,15 @@ class Engine(EngineBase):
         saved_affinity = cpu_dev.get_thread_affinity()
         try:
             for key in rec.subgraph_keys:
-                if self.latency_estimator.get_profiled(key) > 0:
+                max_batch = self.config.worker.workers[key.worker_id].max_batch
+                top_bucket = 1
+                while top_bucket * 2 <= max_batch:
+                    top_bucket *= 2
+                if (
+                    self.latency_estimator.get_profiled(key) > 0
+                    and self.latency_estimator.get_profiled(key, top_bucket)
+                    > 0
+                ):
                     continue
                 # profile under the worker's configured affinity so the
                 # measurement matches serving conditions (reference:
@@ -460,16 +485,34 @@ class Engine(EngineBase):
                 def invoke():
                     jax.block_until_ready(executor.execute(key, inputs))
 
-                self.latency_estimator.profile(key, invoke)
+                if self.latency_estimator.get_profiled(key) <= 0:
+                    self.latency_estimator.profile(key, invoke)
                 # pre-compile continuous-batching buckets so serving never
                 # pays a jit at dispatch time (reference: everything
-                # compiles at RegisterModel / AllocateTensors)
-                max_batch = self.config.worker.workers[key.worker_id].max_batch
+                # compiles at RegisterModel / AllocateTensors) — and
+                # profile the TOP bucket so get_expected(key, batch) has
+                # both interpolation endpoints (b1 and b_max); the cost
+                # of a batched dispatch is NOT batch-flat (measured ~5x
+                # b1 at b8, docs/performance.md)
                 bucket = 2
                 while bucket <= max_batch:
-                    jax.block_until_ready(
-                        executor.execute_batched(key, [inputs] * bucket)
-                    )
+
+                    def invoke_bucket(b=bucket):
+                        jax.block_until_ready(
+                            executor.execute_batched(key, [inputs] * b)
+                        )
+
+                    if (
+                        bucket * 2 > max_batch
+                        and self.latency_estimator.get_profiled(
+                            key, bucket
+                        ) <= 0
+                    ):
+                        self.latency_estimator.profile(
+                            key, invoke_bucket, batch=bucket
+                        )
+                    else:
+                        invoke_bucket()
                     bucket *= 2
         finally:
             if saved_affinity.num_enabled():
@@ -816,8 +859,8 @@ class Engine(EngineBase):
             len(resolved | key.unit_indices) == rec.spec.num_unit_subgraphs
         )
 
-    def get_expected_latency(self, key: SubgraphKey) -> int:
-        return self.latency_estimator.get_expected(key)
+    def get_expected_latency(self, key: SubgraphKey, batch: int = 1) -> int:
+        return self.latency_estimator.get_expected(key, batch)
 
     def get_worst_latency(self, model_id: int) -> int:
         rec = self._rec(model_id)
@@ -829,8 +872,10 @@ class Engine(EngineBase):
             worst = self.latency_estimator.get_worst_model_latency(model_id)
         return worst
 
-    def update_latency(self, key: SubgraphKey, latency_us: int) -> None:
-        self.latency_estimator.update(key, latency_us)
+    def update_latency(
+        self, key: SubgraphKey, latency_us: int, batch: int = 1
+    ) -> None:
+        self.latency_estimator.update(key, latency_us, batch)
 
     # ------------------------------------------------------------------
     # execution (worker-side)

@@ -97,6 +97,83 @@ def _fit(small_us: float, big_us: float, small_b: int, big_b: int):
     return int(fixed), max(int((big_b - small_b) / d_us), 1)
 
 
+def measure_dcn(
+    table: Optional[LinkCostTable] = None,
+    small_bytes: int = 1 << 14, big_bytes: int = 1 << 22,
+) -> LinkCostTable:
+    """Probe the cross-process (DCN) payload path on a live
+    jax.distributed cluster and write the fit into `table`.
+
+    Round 2 left DCN at its guessed default ("needs a peer") even when
+    the 2-process tests brought up a cluster; this closes that hole:
+    every process of the cluster must call this at the same point (the
+    probe is a collective — ``broadcast_one_to_all`` moves the payload
+    over the same channel cross-host dispatch uses).  Process 0's fit
+    is broadcast so every process writes identical values."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    table = table or LinkCostTable()
+    if jax.process_count() < 2:
+        return table
+    small = np.ones(small_bytes, np.uint8)
+    big = np.ones(big_bytes, np.uint8)
+
+    def bcast(arr):
+        multihost_utils.broadcast_one_to_all(arr)
+
+    bcast(small)  # warm the path (first collective pays setup)
+    t_s = _best_of(lambda: bcast(small))
+    t_b = _best_of(lambda: bcast(big))
+    fixed, per = _fit(t_s, t_b, small_bytes, big_bytes)
+    agreed = multihost_utils.broadcast_one_to_all(
+        np.asarray([fixed, per], np.int64)
+    )
+    table.set(DCN, int(agreed[0]), int(agreed[1]))
+    return table
+
+
+def topology_hash() -> str:
+    """Key for persisted probed tables: probing is only valid for the
+    same process count / device count / platform."""
+    import jax
+
+    devs = jax.devices()
+    return (
+        f"p{jax.process_count()}-d{len(devs)}-"
+        f"{devs[0].platform if devs else 'none'}"
+    )
+
+
+def save_table(table: LinkCostTable, path: str) -> None:
+    """Persist a probed table keyed by topology hash (the link-cost
+    analogue of the latency profile DB, reference:
+    band/latency_estimator.cc:185-289)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"hash": topology_hash(), "links": table.to_dict()}, f,
+                  indent=1)
+
+
+def load_table(path: str, table: LinkCostTable) -> bool:
+    """Load a persisted probed table; stale topology hashes are
+    ignored.  Returns True when the table was updated."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("hash") != topology_hash():
+        return False
+    table.update_from_dict(payload.get("links", {}))
+    return True
+
+
 def measure(
     devices: Sequence, table: Optional[LinkCostTable] = None,
     small_bytes: int = 1 << 14, big_bytes: int = 1 << 22,

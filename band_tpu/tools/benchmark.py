@@ -352,14 +352,25 @@ def run_distributed(cfg: BenchmarkConfig) -> Optional[Dict]:
     import jax
 
     from ..parallel.spmd import SpmdChannel
+    from ..runtime.link_costs import measure_dcn
 
     bench = Benchmark(cfg)
-    channel = SpmdChannel(bench.engine)
+    dist = cfg.runtime.distributed
+    channel = SpmdChannel(
+        bench.engine,
+        coordinator_address=dist.coordinator_address,
+        control_port=dist.control_port,
+    )
     channel.barrier("band_benchmark_registered")
+    # probe the cross-process payload path so HEFT/SEL price DCN hops
+    # from measurement, not the guessed default (collective: every
+    # process runs it here)
+    measure_dcn(bench.engine.link_costs)
     if jax.process_index() == 0:
         try:
             channel.attach()
             report = bench.run()
+            report["link_costs"] = bench.engine.link_costs.to_dict()
             channel.shutdown_followers()
         finally:
             bench.shutdown()
