@@ -217,6 +217,14 @@ class MonitorConfig:
     # throttle a TPU worker when its HBM usage fraction exceeds this;
     # 0 disables
     hbm_limit_fraction: float = 0.0
+    # throttle accelerator workers when a monitored device clock
+    # (devfreq_*_hz or tpu*_clock metrics) dips below this — the
+    # thermal-downclock signal the reference's devfreq polling fed
+    # (band/resource_monitor.cc:189,533); 0 disables
+    min_device_clock_hz: float = 0.0
+    # throttle accelerator workers when the TPU duty cycle exceeds this
+    # percentage (sustained saturation backpressure); 0 disables
+    max_duty_cycle_pct: float = 0.0
 
     def validate(self) -> None:
         if self.monitor_interval_ms <= 0:
@@ -513,6 +521,12 @@ def config_from_dict(d: Dict[str, Any]) -> RuntimeConfig:
         )
         b._cfg.monitor.thermal_limit_mc = float(
             mon.get("thermal_limit_mc", 0.0)
+        )
+        b._cfg.monitor.min_device_clock_hz = float(
+            mon.get("min_device_clock_hz", 0.0)
+        )
+        b._cfg.monitor.max_duty_cycle_pct = float(
+            mon.get("max_duty_cycle_pct", 0.0)
         )
         b._cfg.monitor.hbm_limit_fraction = float(
             mon.get("hbm_limit_fraction", 0.0)
