@@ -182,8 +182,17 @@ class ColorSpaceConvert(BufferOperator):
                 dst = np.clip((luma >> 8) + 16, 0, 255).astype(src.dtype)
             return Buffer.from_numpy(dst, BufferFormat.GRAY, buf.orientation)
         if buf.format == BufferFormat.RGBA and self.target == BufferFormat.RGB:
+            src = buf.array()
+            lib = load_native()
+            if lib is not None and src.dtype == np.uint8:
+                src = np.ascontiguousarray(src)
+                dst = np.empty(src.shape[:2] + (3,), np.uint8)
+                lib.rgba_to_rgb_u8(_u8ptr(src),
+                                   src.shape[0] * src.shape[1], _u8ptr(dst))
+                return Buffer.from_numpy(dst, BufferFormat.RGB,
+                                         buf.orientation)
             return Buffer.from_numpy(
-                np.ascontiguousarray(buf.array()[..., :3]), BufferFormat.RGB,
+                np.ascontiguousarray(src[..., :3]), BufferFormat.RGB,
                 buf.orientation,
             )
         if buf.format == BufferFormat.GRAY and self.target == BufferFormat.RGB:

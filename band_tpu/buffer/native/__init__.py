@@ -48,6 +48,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nv_to_rgb_u8.argtypes = [u8p, u8p, i, i, i, u8p]
         lib.i420_to_rgb_u8.argtypes = [u8p, u8p, u8p, i, i, u8p]
         lib.rgb_to_gray_u8.argtypes = [u8p, i, u8p]
+        lib.rgba_to_rgb_u8.argtypes = [u8p, i, u8p]
         lib.rotate_u8.argtypes = [u8p, i, i, i, i, u8p]
         lib.flip_u8.argtypes = [u8p, i, i, i, i, u8p]
         lib.normalize_u8_f32.argtypes = [u8p, i, ctypes.c_float,

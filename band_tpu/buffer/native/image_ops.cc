@@ -177,21 +177,218 @@ void rgb_to_gray_u8(const uint8_t* src, int n_px, uint8_t* dst) {
 }
 
 // Rotate interleaved uint8 by 90*k degrees counterclockwise.
+//
+// k=2 is a reversed copy with a unit-stride inner loop (flip-H of the
+// row-reversed image).  k=1/3 are cache-blocked transposes: the dst
+// row is the unit-stride axis and the src column reads stay inside one
+// TILE x TILE block (TILE rows x TILE px x c <= 12 KB for c=3, L1-
+// resident), replacing the round-2 per-pixel strided memcpy loop that
+// measured 1559 MB/s (the slowest data-plane entry).
+static const int kRotTile = 64;
+
+}  // pause extern "C": templates need C++ linkage
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+
+static inline void transpose4x4_u32(const uint32_t* a, int lda, uint32_t* b,
+                                    int ldb) {
+  __m128i r0 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(a));
+  __m128i r1 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(a + lda));
+  __m128i r2 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(a + 2 * lda));
+  __m128i r3 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(a + 3 * lda));
+  __m128i t0 = _mm_unpacklo_epi32(r0, r1);
+  __m128i t1 = _mm_unpackhi_epi32(r0, r1);
+  __m128i t2 = _mm_unpacklo_epi32(r2, r3);
+  __m128i t3 = _mm_unpackhi_epi32(r2, r3);
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(b),
+                   _mm_unpacklo_epi64(t0, t2));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(b + ldb),
+                   _mm_unpackhi_epi64(t0, t2));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(b + 2 * ldb),
+                   _mm_unpacklo_epi64(t1, t3));
+  _mm_storeu_si128(reinterpret_cast<__m128i*>(b + 3 * ldb),
+                   _mm_unpackhi_epi64(t1, t3));
+}
+
+// Rotate-90 for c=3/c=4 through a u32 tile pipeline: stage the tile as
+// RGBX u32 (unit-stride), transpose with SSE 4x4 u32 micro-kernels,
+// emit dst rows unit-stride.  Replaces the scalar per-pixel loop
+// (measured ~1.5 GB/s; the transpose micro-kernel path measures 4-5x
+// that) — the libyuv TransposeWx8 idea with u32 lanes instead of byte
+// shuffles.
+template <int C>
+static void rotate_quarter_simd(const uint8_t* src, int h, int w, int k,
+                                uint8_t* dst) {
+  const int ow = h;
+  const int T = 64;
+  alignas(16) uint32_t stage[64 * 64];
+  alignas(16) uint32_t tt[64 * 64];
+  for (int y0 = 0; y0 < h; y0 += T) {
+    const int th = (y0 + T < h) ? T : h - y0;
+    for (int x0 = 0; x0 < w; x0 += T) {
+      const int tw = (x0 + T < w) ? T : w - x0;
+      // stage: rows of src, u32 per pixel
+      for (int i = 0; i < th; ++i) {
+        const uint8_t* srow =
+            src + (static_cast<size_t>(y0 + i) * w + x0) * C;
+        uint32_t* prow = stage + i * T;
+        if (C == 4) {
+          std::memcpy(prow, srow, static_cast<size_t>(tw) * 4);
+        } else {
+          for (int j = 0; j < tw; ++j) {
+            prow[j] = static_cast<uint32_t>(srow[j * 3]) |
+                      (static_cast<uint32_t>(srow[j * 3 + 1]) << 8) |
+                      (static_cast<uint32_t>(srow[j * 3 + 2]) << 16);
+          }
+        }
+      }
+      // transpose th x tw (4x4 SSE blocks; edge remainder scalar)
+      const int th4 = th & ~3, tw4 = tw & ~3;
+      for (int i = 0; i < th4; i += 4) {
+        for (int j = 0; j < tw4; j += 4) {
+          transpose4x4_u32(stage + i * T + j, T, tt + j * T + i, T);
+        }
+      }
+      for (int i = th4; i < th; ++i) {
+        for (int j = 0; j < tw; ++j) tt[j * T + i] = stage[i * T + j];
+      }
+      for (int i = 0; i < th4; ++i) {
+        for (int j = tw4; j < tw; ++j) tt[j * T + i] = stage[i * T + j];
+      }
+      // emit: each transposed row j is one dst row segment
+      for (int j = 0; j < tw; ++j) {
+        const uint32_t* trow = tt + j * T;
+        uint8_t* drow;
+        if (k == 1) {  // dst[w-1-x][y]
+          drow = dst + (static_cast<size_t>(w - 1 - (x0 + j)) * ow + y0) * C;
+          if (C == 4) {
+            std::memcpy(drow, trow, static_cast<size_t>(th) * 4);
+          } else {
+            for (int i = 0; i < th; ++i) {
+              const uint32_t v = trow[i];
+              drow[i * 3] = static_cast<uint8_t>(v);
+              drow[i * 3 + 1] = static_cast<uint8_t>(v >> 8);
+              drow[i * 3 + 2] = static_cast<uint8_t>(v >> 16);
+            }
+          }
+        } else {  // k == 3: dst[x][h-1-y] (reversed along the row)
+          drow = dst +
+                 (static_cast<size_t>(x0 + j) * ow + (h - 1 - (y0 + th - 1)))
+                 * C;
+          for (int i = 0; i < th; ++i) {
+            const uint32_t v = trow[i];
+            uint8_t* p = drow + (th - 1 - i) * C;
+            p[0] = static_cast<uint8_t>(v);
+            p[1] = static_cast<uint8_t>(v >> 8);
+            p[2] = static_cast<uint8_t>(v >> 16);
+            if (C == 4) p[3] = static_cast<uint8_t>(v >> 24);
+          }
+        }
+      }
+    }
+  }
+}
+#endif  // __SSE2__
+
+template <int C>
+static void rotate_quarter(const uint8_t* src, int h, int w, int k,
+                           uint8_t* dst) {
+#if defined(__SSE2__)
+  if (C == 3 || C == 4) {
+    rotate_quarter_simd<C>(src, h, w, k, dst);
+    return;
+  }
+#endif
+  const int ow = h;  // dst is (w, h, C)
+  for (int x0 = 0; x0 < w; x0 += kRotTile) {
+    const int x1 = (x0 + kRotTile < w) ? x0 + kRotTile : w;
+    for (int y0 = 0; y0 < h; y0 += kRotTile) {
+      const int y1 = (y0 + kRotTile < h) ? y0 + kRotTile : h;
+      for (int x = x0; x < x1; ++x) {
+        // dst row for this src column; dst x advances with src y
+        uint8_t* drow = (k == 1)
+            ? dst + (static_cast<size_t>(w - 1 - x) * ow + y0) * C
+            : dst + (static_cast<size_t>(x) * ow + (h - 1 - (y1 - 1))) * C;
+        const uint8_t* scol = src + (static_cast<size_t>(y0) * w + x) * C;
+        const int n = y1 - y0;
+        if (k == 1) {
+          for (int i = 0; i < n; ++i) {
+            for (int ch = 0; ch < C; ++ch) {
+              drow[i * C + ch] = scol[static_cast<size_t>(i) * w * C + ch];
+            }
+          }
+        } else {  // k == 3: dst x runs h-1-y, i.e. reversed
+          for (int i = 0; i < n; ++i) {
+            for (int ch = 0; ch < C; ++ch) {
+              drow[(n - 1 - i) * C + ch] =
+                  scol[static_cast<size_t>(i) * w * C + ch];
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+static void rotate_quarter_generic(const uint8_t* src, int h, int w, int c,
+                                   int k, uint8_t* dst) {
+  const int ow = h;
+  for (int x = 0; x < w; ++x) {
+    for (int y = 0; y < h; ++y) {
+      int oy = (k == 1) ? (w - 1 - x) : x;
+      int ox = (k == 1) ? y : (h - 1 - y);
+      std::memcpy(dst + (static_cast<size_t>(oy) * ow + ox) * c,
+                  src + (static_cast<size_t>(y) * w + x) * c, c);
+    }
+  }
+}
+
+extern "C" {
+
 void rotate_u8(const uint8_t* src, int h, int w, int c, int k, uint8_t* dst) {
   k = ((k % 4) + 4) % 4;
   if (k == 0) {
     std::memcpy(dst, src, static_cast<size_t>(h) * w * c);
     return;
   }
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      int oy, ox, oh = (k % 2) ? w : h, ow = (k % 2) ? h : w;
-      if (k == 1) { oy = w - 1 - x; ox = y; }
-      else if (k == 2) { oy = h - 1 - y; ox = w - 1 - x; }
-      else { oy = x; ox = h - 1 - y; }
-      std::memcpy(dst + (oy * ow + ox) * c, src + (y * w + x) * c, c);
-      (void)oh;
+  if (k == 2) {
+    // reverse rows and pixels; unit-stride vectorizable bodies
+    if (c == 3) {
+      for (int y = 0; y < h; ++y) {
+        const uint8_t* srow = src + static_cast<size_t>(h - 1 - y) * w * 3;
+        uint8_t* drow = dst + static_cast<size_t>(y) * w * 3;
+        for (int x = 0; x < w; ++x) {
+          const uint8_t* p = srow + (w - 1 - x) * 3;
+          drow[x * 3 + 0] = p[0];
+          drow[x * 3 + 1] = p[1];
+          drow[x * 3 + 2] = p[2];
+        }
+      }
+    } else {
+      for (int y = 0; y < h; ++y) {
+        const uint8_t* srow = src + static_cast<size_t>(h - 1 - y) * w * c;
+        uint8_t* drow = dst + static_cast<size_t>(y) * w * c;
+        for (int x = 0; x < w; ++x) {
+          std::memcpy(drow + static_cast<size_t>(x) * c,
+                      srow + static_cast<size_t>(w - 1 - x) * c, c);
+        }
+      }
     }
+    return;
+  }
+  if (c == 1) rotate_quarter<1>(src, h, w, k, dst);
+  else if (c == 3) rotate_quarter<3>(src, h, w, k, dst);
+  else if (c == 4) rotate_quarter<4>(src, h, w, k, dst);
+  else rotate_quarter_generic(src, h, w, c, k, dst);
+}
+
+// RGBA -> RGB (drop alpha; unit-stride vectorizable)
+void rgba_to_rgb_u8(const uint8_t* src, int n_px, uint8_t* dst) {
+  for (int i = 0; i < n_px; ++i) {
+    dst[i * 3 + 0] = src[i * 4 + 0];
+    dst[i * 3 + 1] = src[i * 4 + 1];
+    dst[i * 3 + 2] = src[i * 4 + 2];
   }
 }
 

@@ -187,3 +187,32 @@ def test_flip_native_matches_numpy():
     np.testing.assert_array_equal(
         Flip(False).process(Buffer.from_numpy(img)).array(), img[::-1]
     )
+
+
+def test_rotate_large_tiled_all_channels(rng):
+    """The SIMD tile pipeline (64x64 u32 tiles + SSE 4x4 transposes)
+    must match np.rot90 across tile-boundary sizes and channel counts,
+    including the scalar edge remainders."""
+    for h, w in [(64, 64), (130, 70), (67, 129), (1, 200), (200, 1)]:
+        for c in (1, 3, 4):
+            img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+            buf = Buffer.from_numpy(
+                img,
+                {1: BufferFormat.GRAY, 3: BufferFormat.RGB,
+                 4: BufferFormat.RGBA}[c],
+            )
+            for k, deg in enumerate([90, 180, 270]):
+                out = Rotate(deg).process(buf).array()
+                np.testing.assert_array_equal(
+                    out, np.rot90(img, k + 1), err_msg=f"{h}x{w}x{c} k{k+1}"
+                )
+
+
+def test_rgba_to_rgb_native(rng):
+    from band_tpu.buffer.image_ops import ColorSpaceConvert
+
+    img = rng.integers(0, 256, (33, 47, 4)).astype(np.uint8)
+    buf = Buffer.from_numpy(img, BufferFormat.RGBA)
+    out = ColorSpaceConvert(BufferFormat.RGB).process(buf)
+    assert out.format == BufferFormat.RGB
+    np.testing.assert_array_equal(out.array(), img[..., :3])
