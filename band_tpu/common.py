@@ -235,11 +235,12 @@ class SafeEvent:
             self._signaled = True
             self._cond.notify_all()
 
-    def wait(self) -> bool:
-        """Block until notified.  Returns True if terminating."""
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Block until notified (or `timeout` seconds).  Returns True
+        if terminating."""
         with self._cond:
-            while not self._signaled and not self._terminated:
-                self._cond.wait()
+            if not self._signaled and not self._terminated:
+                self._cond.wait(timeout=timeout)
             self._signaled = False
             return self._terminated
 

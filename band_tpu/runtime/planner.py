@@ -276,7 +276,13 @@ class Planner:
             if mask is not None:
                 cpu_dev.set_thread_affinity(mask)
         while True:
-            if self._safe_event.wait():
+            # wake periodically while jobs are pending so SLO shedding
+            # (planner early-drop, LSF in-scheduler drops) runs even
+            # when no worker/enqueue trigger arrives — e.g. every
+            # eligible worker is quarantined and jobs would otherwise
+            # strand in the local queues past their deadlines
+            pending = any(self.local_queues) or bool(self._requests)
+            if self._safe_event.wait(timeout=0.01 if pending else None):
                 return
             if not self._running:
                 return

@@ -105,3 +105,35 @@ def test_soak_serving_with_churn(engine):
         assert w._thread.is_alive()
     out = engine.request_sync(base, [x], timeout=30)
     np.testing.assert_allclose(out[0], x * 3.0)
+
+
+def test_batched_executable_cache_is_bounded(engine):
+    """Per-(subgraph, bucket) executables must stay bounded by the
+    power-of-two bucket set (<= log2(max_batch)+1 per subgraph), no
+    matter how many window sizes serve (VERDICT r2 #6: jit-cache growth
+    under endurance load).  Also: the finished-record ring stays at its
+    cap."""
+    import math
+
+    mid = engine.register_model(bt.Model.from_path(ADD))
+    x = np.full((1, 8, 8, 3), 2.0, np.float32)
+    # fire windows of every size 1..max_batch, several rounds
+    for _ in range(3):
+        for b in range(1, 5):
+            ids = engine.request_async_batch(
+                [mid] * b, [[x]] * b
+            )
+            st = engine.wait_all(ids, timeout=60)
+            assert all(
+                s == bt.JobStatus.SUCCESS for s in st.values()
+            ), st
+    rec = engine.model_record(mid)
+    max_batch = 4
+    bound = int(math.log2(max_batch)) + 1
+    for ex in rec.executors.values():
+        for key, buckets in getattr(ex, "_batched", {}).items():
+            assert len(buckets) <= bound, (key, sorted(buckets))
+            assert all((b & (b - 1)) == 0 for b in buckets), buckets
+    from band_tpu.runtime.planner import NUM_FINISHED_RECORDS
+
+    assert len(engine.planner._finished) <= NUM_FINISHED_RECORDS
