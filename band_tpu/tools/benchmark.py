@@ -334,6 +334,30 @@ class Benchmark:
                 float(np.mean(all_lat) / 1000.0) if all_lat else -1
             ),
         }
+        # endurance diagnostics: executable-cache population (bounded by
+        # the power-of-two bucket set per subgraph) and process RSS, so
+        # long runs can assert no unbounded growth (VERDICT r3 item 6)
+        n_batched = 0
+        for mid in self.model_ids:
+            try:
+                rec = self.engine.model_record(mid)
+            except Exception:
+                continue
+            for ex in rec.executors.values():
+                n_batched += sum(
+                    len(b) for b in getattr(ex, "_batched", {}).values()
+                )
+        out["runtime_health"] = {"batched_executables": n_batched}
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        out["runtime_health"]["rss_mb"] = round(
+                            float(line.split()[1]) / 1024.0, 1
+                        )
+                        break
+        except OSError:
+            pass
         return out
 
     def shutdown(self) -> None:

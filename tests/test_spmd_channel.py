@@ -1,0 +1,249 @@
+"""Single-process unit tests of the SPMD control plane internals
+(parallel/spmd.py): framing, per-worker payload caches, and the
+metadata-only steady state of run_window (repeated serving buffers are
+shipped once per worker channel, then referenced by id).
+
+The 2-process integration tier is tests/test_spmd_engine.py; these
+tests pin the channel's encoding/caching behavior hermetically with an
+instrumented pseudo-follower socket."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+import band_tpu as bt
+from band_tpu.parallel import spmd
+from tests.conftest import has_model, model_path
+
+
+# ----------------------------------------------------------------------
+# framing
+# ----------------------------------------------------------------------
+def test_frame_roundtrip():
+    a, b = socket.socketpair()
+    blobs = [
+        np.arange(12, dtype=np.int64).reshape(3, 4),
+        np.zeros((2, 2, 2), np.int8),
+        np.asarray(3.5, np.float32),
+    ]
+    spmd._send_frame(a, spmd.OP_EXEC, 1, 2, 3, blobs)
+    op, x, y, z, out = spmd._recv_frame(b)
+    assert (op, x, y, z) == (spmd.OP_EXEC, 1, 2, 3)
+    for orig, got in zip(blobs, out):
+        assert got.dtype == orig.dtype
+        np.testing.assert_array_equal(got, orig)
+    a.close()
+    b.close()
+
+
+def test_frame_closed_socket_raises():
+    a, b = socket.socketpair()
+    a.close()
+    with pytest.raises(ConnectionError):
+        spmd._recv_frame(b)
+    b.close()
+
+
+# ----------------------------------------------------------------------
+# caches
+# ----------------------------------------------------------------------
+def test_driver_cache_identity_and_lru():
+    c = spmd._DriverCache(capacity=2)
+    x = np.ones(4)
+    y = np.zeros(4)
+    z = np.full(4, 2.0)
+    cid_x = c.insert(x, x)
+    cid_y = c.insert(y, y)
+    assert c.lookup(y)[0] == cid_y
+    hit = c.lookup(x)  # touch: y becomes the LRU entry
+    assert hit is not None and hit[0] == cid_x and hit[1] is x
+    # inserting a third evicts the least recently used (y)
+    c.insert(z, z)
+    assert c.lookup(y) is None
+    assert c.lookup(x)[0] == cid_x
+    assert c.lookup(z) is not None
+
+
+def test_follower_cache_mirrors_lru():
+    f = spmd._FollowerCache(capacity=2)
+    f.insert(0, np.ones(1))
+    f.insert(1, np.zeros(1))
+    f.get(0)  # touch
+    f.insert(2, np.full(1, 2.0))  # evicts 1
+    assert 1 not in f._store
+    np.testing.assert_array_equal(f.get(0), np.ones(1))
+
+
+# ----------------------------------------------------------------------
+# run_window steady state
+# ----------------------------------------------------------------------
+class _PseudoFollower:
+    """Reads frames from one end of a socketpair, recording per-frame
+    payload sizes (does not replay — single-process launch needs no
+    peer)."""
+
+    def __init__(self):
+        self.driver_end, self.follower_end = socket.socketpair()
+        self.frames = []
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _loop(self):
+        try:
+            while True:
+                op, a, b, c, blobs = spmd._recv_frame(self.follower_end)
+                self.frames.append(
+                    (op, a, b, c, [bl.nbytes for bl in blobs])
+                )
+        except (ConnectionError, OSError):
+            return
+
+    def close(self):
+        self.driver_end.close()
+        self.follower_end.close()
+        self._t.join(timeout=5)
+
+
+@pytest.fixture
+def mesh_engine():
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(
+            bt.WorkerSpec(
+                device=bt.DeviceFlag.CPU, device_ids=(0, 1),
+                mesh_shape=(2, 1), max_batch=8,
+            )
+        )
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        yield eng
+    finally:
+        eng.shutdown()
+
+
+def test_run_window_caches_payloads_to_metadata(mesh_engine, rng):
+    import jax
+
+    eng = mesh_engine
+    mid = eng.register_model(bt.Model.from_path(model_path("add")))
+    rec = eng.model_record(mid)
+    ex = rec.executors[0]
+    key = ex.largest_subgraph_key()
+
+    channel = spmd.SpmdChannel(eng)
+    follower = _PseudoFollower()
+    channel._socks = [follower.driver_end]
+    channel._sock_locks = [threading.Lock()]
+    channel._slots = {key: 0}
+    channel._by_slot = [(ex, key)]
+    try:
+        x_host = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+        x_dev = jax.device_put(x_host, ex.devices[0])  # "staged" buffer
+        window = [[x_dev]] * 4
+
+        out1 = channel.run_window(ex, key, window)
+        out2 = channel.run_window(ex, key, window)
+        out3 = channel.run_window(ex, key, [[x_dev]] * 8)
+
+        # numerics: add.tflite computes 3*x
+        np.testing.assert_allclose(
+            np.asarray(out1[0][0]), 3.0 * x_host, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out3[7][0]), 3.0 * x_host, rtol=1e-6
+        )
+
+        # wait for the pseudo-follower to drain
+        import time
+
+        for _ in range(100):
+            if len(follower.frames) >= 3:
+                break
+            time.sleep(0.02)
+        assert len(follower.frames) == 3
+        sizes = [sum(f[4]) for f in follower.frames]
+        # first window ships the payload (ENC_STAGE)...
+        assert sizes[0] >= x_host.nbytes
+        # ...repeats are metadata-only (ENC_REF), even at a bigger
+        # bucket: the cache is keyed per row object, not per window
+        assert sizes[1] < 200, sizes
+        assert sizes[2] < 200, sizes
+    finally:
+        follower.close()
+
+
+def test_run_window_novel_payloads_ship_rows(mesh_engine, rng):
+    """Novel per-request numpy payloads are never cached — each window
+    ships raw rows (dp-sliced for the receiving process)."""
+    eng = mesh_engine
+    mid = eng.register_model(bt.Model.from_path(model_path("add")))
+    rec = eng.model_record(mid)
+    ex = rec.executors[0]
+    key = ex.largest_subgraph_key()
+
+    channel = spmd.SpmdChannel(eng)
+    follower = _PseudoFollower()
+    channel._socks = [follower.driver_end]
+    channel._sock_locks = [threading.Lock()]
+    channel._slots = {key: 0}
+    channel._by_slot = [(ex, key)]
+    try:
+        for _ in range(2):
+            window = [
+                [rng.standard_normal((1, 8, 8, 3)).astype(np.float32)]
+                for _ in range(4)
+            ]
+            outs = channel.run_window(ex, key, window)
+            for o, ins in zip(outs, window):
+                np.testing.assert_allclose(
+                    np.asarray(o[0]), 3.0 * ins[0], rtol=1e-6
+                )
+        import time
+
+        for _ in range(100):
+            if len(follower.frames) >= 2:
+                break
+            time.sleep(0.02)
+        # every frame carries payload (no false cache hits on fresh
+        # arrays, which could recycle ids)
+        for f in follower.frames:
+            assert sum(f[4]) > 0
+    finally:
+        follower.close()
+
+
+def test_follower_loss_quarantines_and_raises(mesh_engine, rng):
+    """A dead pseudo-follower turns the next run_window into an
+    ExecutionError and quarantines the worker (instead of wedging)."""
+    from band_tpu.errors import ExecutionError
+
+    eng = mesh_engine
+    mid = eng.register_model(bt.Model.from_path(model_path("add")))
+    rec = eng.model_record(mid)
+    ex = rec.executors[0]
+    key = ex.largest_subgraph_key()
+
+    channel = spmd.SpmdChannel(eng)
+    follower = _PseudoFollower()
+    channel._socks = [follower.driver_end]
+    channel._sock_locks = [threading.Lock()]
+    channel._slots = {key: 0}
+    channel._by_slot = [(ex, key)]
+
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    assert channel.run_window(ex, key, [[x]])  # healthy first
+    follower.follower_end.close()  # follower "dies"
+    follower.driver_end.close()
+    with pytest.raises(ExecutionError):
+        for _ in range(3):  # first send may land in the socket buffer
+            channel.run_window(ex, key, [[x]])
+    assert eng.workers[0]._quarantined
