@@ -571,6 +571,42 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     )
 
 
+def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, need_sums=False):
+    """Depthwise conv as shifted elementwise multiply-adds.
+
+    y[n,i,j,c] = sum_{a,b} x[n, i*sh + a*dh, j*sw + b*dw, c//mult]
+                 * w[a, b, c] accumulated in int32 — kh*kw strided
+    slices of the padded input, each multiplied by the tap's
+    per-channel weight row and added.  Returns (acc, tap_sums) where
+    tap_sums (the TFLite weight-zero-point sum-of-inputs term) reuses
+    the same slices when requested."""
+    kh, kw = ksize
+    sh, sw = strides
+    dh, dw_ = dil
+    hp, wp = int(x_pad.shape[1]), int(x_pad.shape[2])
+    oh = (hp - (kh - 1) * dh - 1) // sh + 1
+    ow = (wp - (kw - 1) * dw_ - 1) // sw + 1
+    xi = x_pad.astype(jnp.int32)
+    if mult > 1:
+        xi = jnp.repeat(xi, mult, axis=-1)
+    wv = jnp.asarray(w).reshape(kh, kw, -1).astype(jnp.int32)
+    acc = None
+    sums = None
+    for a in range(kh):
+        for b in range(kw):
+            sl = xi[
+                :,
+                a * dh: a * dh + (oh - 1) * sh + 1: sh,
+                b * dw_: b * dw_ + (ow - 1) * sw + 1: sw,
+                :,
+            ]
+            term = sl * wv[a, b]
+            acc = term if acc is None else acc + term
+            if need_sums:
+                sums = sl if sums is None else sums + sl
+    return acc, sums
+
+
 @register("DEPTHWISE_CONV_2D", prepare=_prepare_dwconv2d)
 def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     g = ctx.graph
@@ -653,13 +689,17 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
             )
             ctx.set(op.outputs[0], out)
             return
-    acc = _int_conv(ctx, x_pad, w, strides, dil, dn, feature_group_count=ci)
+    # Tap-accumulation instead of lax grouped conv: a depthwise conv is
+    # kh*kw shifted elementwise multiply-adds over the FULL channel
+    # lane dim — int32 VPU work at 100% lane utilization for any C,
+    # where XLA's grouped-conv lowering wastes 1 - C/128 of the lanes
+    # (measured 6-7 Gelem/s for C < 128, docs/performance.md) and the
+    # Pallas flat-lane kernel costs a relayout mid-model.  Bit-exact:
+    # the integer adds reproduce the conv's int32 sums exactly; the
+    # weight-zero-point window sum rides the same slices for free.
+    acc, s = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult,
+                         need_sums=(wzp != 0))
     if wzp != 0:
-        # per-input-channel window sums via depthwise ones kernel
-        s = _ones_conv(ctx, x_pad, kh, kw, ci, strides, dil, dn,
-                       feature_group_count=ci)
-        if mult > 1:
-            s = jnp.repeat(s, mult, axis=-1)
         acc = acc - jnp.int32(wzp) * s
     acc = acc + ctx.param(op, "bias")
     ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
