@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -697,9 +699,28 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     # Pallas flat-lane kernel costs a relayout mid-model.  Bit-exact:
     # the integer adds reproduce the conv's int32 sums exactly; the
     # weight-zero-point window sum rides the same slices for free.
-    acc, s = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult,
-                         need_sums=(wzp != 0))
+    # Default for ALL strides: same-phase A/Bs measured strided taps
+    # ~10-25% faster than grouped conv on mobilenet-v2 (b32 0.66 vs
+    # 0.87 ms/inf) and identical on ICN (docs/performance.md round-3
+    # table); BAND_DW_TAP_STRIDED=0 reverts strided layers to the
+    # grouped conv (experiment knob).
+    if strides == (1, 1) or os.environ.get(
+        "BAND_DW_TAP_STRIDED", "1"
+    ) != "0":
+        acc, s = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult,
+                             need_sums=(wzp != 0))
+        if wzp != 0:
+            acc = acc - jnp.int32(wzp) * s
+        acc = acc + ctx.param(op, "bias")
+        ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
+        return
+    acc = _int_conv(ctx, x_pad, w, strides, dil, dn, feature_group_count=ci)
     if wzp != 0:
+        # per-input-channel window sums via depthwise ones kernel
+        s = _ones_conv(ctx, x_pad, kh, kw, ci, strides, dil, dn,
+                       feature_group_count=ci)
+        if mult > 1:
+            s = jnp.repeat(s, mult, axis=-1)
         acc = acc - jnp.int32(wzp) * s
     acc = acc + ctx.param(op, "bias")
     ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
