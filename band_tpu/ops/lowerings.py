@@ -270,6 +270,33 @@ def _ones_conv(ctx: LowerCtx, x_i8, kh, kw, ci, strides, dil, dn,
     bit-for-bit.
     """
     eff_batch = ctx.batch_hint * int(x_i8.shape[0])
+    # Small kernels (any batch, any dilation): tap-sums — kh*kw shifted
+    # strided slices added elementwise, channel-reduced for the dense
+    # case.  Pure fused VPU adds; replaces the ones-conv whose C->128
+    # lane padding made e.g. mobilenet's first-conv correction a
+    # 0.51 ms kernel = 28% of the whole b1 program (xprof,
+    # docs/performance.md round 3).  Large kernels keep the integral
+    # image (batch >= 4) / ones-conv routes below.
+    if kh * kw <= 9:
+        sh, sw = strides
+        dh, dw_ = dil
+        hp, wp = int(x_i8.shape[1]), int(x_i8.shape[2])
+        oh = (hp - (kh - 1) * dh - 1) // sh + 1
+        ow = (wp - (kw - 1) * dw_ - 1) // sw + 1
+        xi = x_i8.astype(jnp.int32)
+        if feature_group_count == 1:
+            xi = xi.sum(axis=-1, keepdims=True)      # [N, Hp, Wp, 1]
+        s = None
+        for a in range(kh):
+            for b in range(kw):
+                sl = xi[
+                    :,
+                    a * dh: a * dh + (oh - 1) * sh + 1: sh,
+                    b * dw_: b * dw_ + (ow - 1) * sw + 1: sw,
+                    :,
+                ]
+                s = sl if s is None else s + sl
+        return s
     # the W-axis cumsum of row-box sums reaches ~127*ci*kh*Wp in int32
     # (dense case after the channel reduce) — far beyond the ones-conv
     # accumulator's ~127*ci*kh*kw; guard statically and fall back to the
@@ -440,17 +467,45 @@ def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
         return d
     w_hwio = np.transpose(w_td.data, (1, 2, 3, 0))  # OHWI -> HWIO
     kh, kw, ci, _ = w_hwio.shape
-    return _prepare_conv_common(
+    out = _prepare_conv_common(
         graph, op, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw * ci,
         exact=exact,
     )
+    # narrow-input convs with nonzero weight zp (e.g. a uint8 model's
+    # stem conv, ci=3): the window-sum correction runs at ci/128 lane
+    # utilization and can cost several times the conv itself (xprof:
+    # mobilenet's stem correction was 28% of the whole b1 program).
+    # Fold the zp into the weights instead — conv(x, w - wzp) — split
+    # into two int8 tensors since w - wzp spans [-255, 255]: two cheap
+    # convs replace conv + correction, bit-exactly.
+    if out.get("w_zp") and ci <= 16 and (kh, kw) != (1, 1):
+        w_i = w_hwio.astype(np.int32)
+        if w_td.dtype == np.uint8:
+            w_i = w_i - 128
+        wp_ = w_i - int(out["w_zp"])
+        w_a = np.clip(wp_, -128, 127)
+        out["w_split_a"] = w_a.astype(np.int8)
+        out["w_split_b"] = (wp_ - w_a).astype(np.int8)
+    return out
 
 
 def _pallas_qmm(ctx: LowerCtx, op: OpNode, x2, w2, wzp: int, out_td):
     """Fused Pallas int8 matmul + bit-exact requant for ops that reduce
-    to a GEMM (FC, pointwise conv).  x2 [M, K] int8-domain, w2 [K, N]."""
+    to a GEMM (FC, pointwise conv).  x2 [M, K] int8-domain, w2 [K, N].
+
+    M is padded up to the kernel's 256-row tile (zero rows, sliced off
+    after) so every pointwise conv rides the fused kernel — round-2's
+    divisibility routing sent e.g. mobilenet's 56^2/28^2 pointwise
+    convs (m = 3136/784) down the generic conv + window-sum path,
+    whose correction ran at 1/128 lane utilization (xprof round 3)."""
     from .pallas.qmatmul import qmatmul_exact
 
+    m = x2.shape[0]
+    m_pad = -m % 256 if m > 256 else 0
+    if m_pad:
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((m_pad, x2.shape[1]), x2.dtype)], axis=0
+        )
     n_out = w2.shape[1]
     qm = jnp.broadcast_to(
         jnp.asarray(ctx.param(op, "qm"), jnp.int32).reshape(-1), (n_out,)
@@ -459,7 +514,7 @@ def _pallas_qmm(ctx: LowerCtx, op: OpNode, x2, w2, wzp: int, out_td):
         jnp.asarray(ctx.param(op, "shift"), jnp.int32).reshape(-1),
         (n_out,),
     )
-    return qmatmul_exact(
+    out = qmatmul_exact(
         x2, w2, ctx.param(op, "bias"), qm, shift,
         out_zp=int(ctx.smeta(op, "out_zp")),
         qmin=int(ctx.smeta(op, "qmin")),
@@ -468,6 +523,7 @@ def _pallas_qmm(ctx: LowerCtx, op: OpNode, x2, w2, wzp: int, out_td):
         w_zp=int(wzp),
         out_dtype=out_td.dtype,
     )
+    return out[:m] if m_pad else out
 
 
 def _conv_requant(ctx: LowerCtx, op: OpNode, acc):
@@ -534,7 +590,9 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
         n, hh, ww, ci = x.shape
         oc = w.shape[-1]
         m = n * hh * ww
-        if m <= 256 or m % 256 == 0:
+        # any m rides the kernel now (_pallas_qmm zero-pads the row
+        # tile); keep tiny matmuls on XLA where tiling adds nothing
+        if m >= 64:
             out = _pallas_qmm(ctx, op, x.reshape(m, ci), w.reshape(ci, oc),
                               wzp, out_td)
             ctx.set(op.outputs[0], out.reshape(n, hh, ww, oc))
@@ -542,10 +600,20 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
     # pad explicitly with the zero point so padded taps vanish in real space
     x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
                     constant_values=np.int8(xzp))
-    acc = _int_conv(ctx, x_pad, w, strides, dil, dn)
-    if wzp != 0:
-        s = _ones_conv(ctx, x_pad, kh, kw, x.shape[-1], strides, dil, dn)
-        acc = acc - jnp.int32(wzp) * s
+    if f"op{op.index}/w_split_a" in ctx.params:
+        # zp folded into split weights (narrow-input conv): two int8
+        # convs, no window-sum correction (see _prepare_conv2d)
+        acc = _int_conv(
+            ctx, x_pad, ctx.param(op, "w_split_a"), strides, dil, dn
+        ) + _int_conv(
+            ctx, x_pad, ctx.param(op, "w_split_b"), strides, dil, dn
+        )
+    else:
+        acc = _int_conv(ctx, x_pad, w, strides, dil, dn)
+        if wzp != 0:
+            s = _ones_conv(ctx, x_pad, kh, kw, x.shape[-1], strides, dil,
+                           dn)
+            acc = acc - jnp.int32(wzp) * s
     acc = acc + ctx.param(op, "bias")
     ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
 
@@ -573,15 +641,17 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     )
 
 
-def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, need_sums=False):
+def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0):
     """Depthwise conv as shifted elementwise multiply-adds.
 
     y[n,i,j,c] = sum_{a,b} x[n, i*sh + a*dh, j*sw + b*dw, c//mult]
-                 * w[a, b, c] accumulated in int32 — kh*kw strided
-    slices of the padded input, each multiplied by the tap's
-    per-channel weight row and added.  Returns (acc, tap_sums) where
-    tap_sums (the TFLite weight-zero-point sum-of-inputs term) reuses
-    the same slices when requested."""
+                 * (w[a, b, c] - wzp) accumulated in int32 — kh*kw
+    strided slices of the padded input, each multiplied by the tap's
+    per-channel weight row and added.  The weight zero point folds
+    directly into the int32 tap weights (conv(x, w) - wzp*winsum(x)
+    == conv(x, w - wzp) exactly), so no correction term exists at
+    all — the int8-range constraint that forces TFLite's
+    sum-of-inputs term only applies to int8 MXU operands."""
     kh, kw = ksize
     sh, sw = strides
     dh, dw_ = dil
@@ -591,9 +661,10 @@ def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, need_sums=False):
     xi = x_pad.astype(jnp.int32)
     if mult > 1:
         xi = jnp.repeat(xi, mult, axis=-1)
-    wv = jnp.asarray(w).reshape(kh, kw, -1).astype(jnp.int32)
+    wv = jnp.asarray(w).reshape(kh, kw, -1).astype(jnp.int32) - jnp.int32(
+        wzp
+    )
     acc = None
-    sums = None
     for a in range(kh):
         for b in range(kw):
             sl = xi[
@@ -604,9 +675,7 @@ def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, need_sums=False):
             ]
             term = sl * wv[a, b]
             acc = term if acc is None else acc + term
-            if need_sums:
-                sums = sl if sums is None else sums + sl
-    return acc, sums
+    return acc
 
 
 @register("DEPTHWISE_CONV_2D", prepare=_prepare_dwconv2d)
@@ -702,15 +771,15 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     # Default for ALL strides: same-phase A/Bs measured strided taps
     # ~10-25% faster than grouped conv on mobilenet-v2 (b32 0.66 vs
     # 0.87 ms/inf) and identical on ICN (docs/performance.md round-3
-    # table); BAND_DW_TAP_STRIDED=0 reverts strided layers to the
-    # grouped conv (experiment knob).
-    if strides == (1, 1) or os.environ.get(
-        "BAND_DW_TAP_STRIDED", "1"
-    ) != "0":
-        acc, s = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult,
-                             need_sums=(wzp != 0))
-        if wzp != 0:
-            acc = acc - jnp.int32(wzp) * s
+    # table).  Experiment knobs: BAND_DW_TAP=0 disables tap-
+    # accumulation entirely (grouped conv); BAND_DW_TAP_STRIDED=0
+    # reverts only strided layers.
+    use_tap = os.environ.get("BAND_DW_TAP", "1") != "0" and (
+        strides == (1, 1)
+        or os.environ.get("BAND_DW_TAP_STRIDED", "1") != "0"
+    )
+    if use_tap:
+        acc = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult, wzp=wzp)
         acc = acc + ctx.param(op, "bias")
         ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
         return
