@@ -269,34 +269,16 @@ def _ones_conv(ctx: LowerCtx, x_i8, kh, kw, ci, strides, dil, dn,
     Exact either way: integer adds reproduce the conv's int32 sums
     bit-for-bit.
     """
+    # NOTE (round-3 xprof study): computing the window sum as channel-
+    # reduced tap-sums was tried and REGRESSED dense corrections — the
+    # channel reduce leaves a C=1 minor dim, so every shifted add runs
+    # at 1/128 lane utilization (ICN b1 device time 1.48 -> 2.37 ms).
+    # Dense corrections stay on integral image (batch >= 4) / ones-conv
+    # (below); the cheap paths for the expensive cases are ALGEBRAIC:
+    # depthwise folds the zp into int32 tap weights, narrow-input stems
+    # fold it into split int8 weights (two convs), pointwise convs
+    # handle it inside the Pallas kernel.
     eff_batch = ctx.batch_hint * int(x_i8.shape[0])
-    # Small kernels (any batch, any dilation): tap-sums — kh*kw shifted
-    # strided slices added elementwise, channel-reduced for the dense
-    # case.  Pure fused VPU adds; replaces the ones-conv whose C->128
-    # lane padding made e.g. mobilenet's first-conv correction a
-    # 0.51 ms kernel = 28% of the whole b1 program (xprof,
-    # docs/performance.md round 3).  Large kernels keep the integral
-    # image (batch >= 4) / ones-conv routes below.
-    if kh * kw <= 9:
-        sh, sw = strides
-        dh, dw_ = dil
-        hp, wp = int(x_i8.shape[1]), int(x_i8.shape[2])
-        oh = (hp - (kh - 1) * dh - 1) // sh + 1
-        ow = (wp - (kw - 1) * dw_ - 1) // sw + 1
-        xi = x_i8.astype(jnp.int32)
-        if feature_group_count == 1:
-            xi = xi.sum(axis=-1, keepdims=True)      # [N, Hp, Wp, 1]
-        s = None
-        for a in range(kh):
-            for b in range(kw):
-                sl = xi[
-                    :,
-                    a * dh: a * dh + (oh - 1) * sh + 1: sh,
-                    b * dw_: b * dw_ + (ow - 1) * sw + 1: sw,
-                    :,
-                ]
-                s = sl if s is None else s + sl
-        return s
     # the W-axis cumsum of row-box sums reaches ~127*ci*kh*Wp in int32
     # (dense case after the channel reduce) — far beyond the ones-conv
     # accumulator's ~127*ci*kh*kw; guard statically and fall back to the
@@ -590,9 +572,12 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
         n, hh, ww, ci = x.shape
         oc = w.shape[-1]
         m = n * hh * ww
-        # any m rides the kernel now (_pallas_qmm zero-pads the row
-        # tile); keep tiny matmuls on XLA where tiling adds nothing
-        if m >= 64:
+        # wzp != 0: ANY m rides the kernel (_pallas_qmm zero-pads the
+        # row tile) — in-kernel zp handling beats generic conv + a
+        # 1/128-lane window-sum correction at every shape.  wzp == 0:
+        # keep the aligned-tile routing only (XLA's fused conv wins at
+        # odd shapes — ICN b1 regression study, docs/performance.md).
+        if (wzp != 0 and m >= 64) or m <= 256 or m % 256 == 0:
             out = _pallas_qmm(ctx, op, x.reshape(m, ci), w.reshape(ci, oc),
                               wzp, out_td)
             ctx.set(op.outputs[0], out.reshape(n, hh, ww, oc))
@@ -774,7 +759,14 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     # table).  Experiment knobs: BAND_DW_TAP=0 disables tap-
     # accumulation entirely (grouped conv); BAND_DW_TAP_STRIDED=0
     # reverts only strided layers.
+    # taps pay off whenever they fold a zero point away (every uint8-
+    # weight model) or the batch is a serving bucket (b>=4: full-lane
+    # elementwise beats the lane-starved grouped conv; measured neutral
+    # for the zp-free b1 case, where grouped conv stays)
+    eff_batch = ctx.batch_hint * int(x.shape[0])
     use_tap = os.environ.get("BAND_DW_TAP", "1") != "0" and (
+        wzp != 0 or eff_batch >= 4
+    ) and (
         strides == (1, 1)
         or os.environ.get("BAND_DW_TAP_STRIDED", "1") != "0"
     )
