@@ -383,6 +383,7 @@ class SpmdChannel:
         conns: Dict[int, socket.socket] = {}
         for _ in range(n_followers):
             conn, _addr = srv.accept()
+            conn.settimeout(None)  # accepted conns must block forever
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             op, pid, _, _, _ = _recv_frame(conn)
             assert op == OP_HELLO, op
@@ -401,6 +402,9 @@ class SpmdChannel:
         while time.monotonic() < deadline:
             try:
                 s = socket.create_connection((host, port), timeout=5.0)
+                # the connect timeout must NOT persist as the recv
+                # timeout: serving gaps are unbounded (compiles, idle)
+                s.settimeout(None)
                 s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                 _send_frame(s, OP_HELLO, jax.process_index(), 0, 0, [])
                 self._sock = s
