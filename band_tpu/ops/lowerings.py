@@ -2056,7 +2056,12 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
             for (rh, rw), p in phases_out.items():
                 res = res.at[:, rh:rh + sh * p.shape[1]:sh,
                              rw:rw + sw * p.shape[2]:sw, :].set(p)
-        ctx.set(op.outputs[0], res)
+        # pin the interleave to int8: without the barrier XLA commutes
+        # the pixel shuffle past the CONSUMER's elementwise requant and
+        # relayouts the u32 64-bit-limb intermediates instead — 8x the
+        # copied bytes (ICN b32 xprof: 4 x 1.9 ms u32 data-formatting
+        # copies from the downstream ADD's MBQM pipeline)
+        ctx.set(op.outputs[0], lax.optimization_barrier(res))
     else:
         if f"op{op.index}/bias" in ctx.params:
             acc = acc + ctx.param(op, "bias")
