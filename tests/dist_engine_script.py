@@ -75,7 +75,9 @@ def base_config(coord, n_procs, pid, running_ms=3000):
 def run_serve(coord, n_procs, pid) -> None:
     from band_tpu.tools.benchmark import BenchmarkConfig, run_distributed
 
-    cfg = BenchmarkConfig.from_dict(base_config(coord, n_procs, pid))
+    cfg = BenchmarkConfig.from_dict(
+        base_config(coord, n_procs, pid, running_ms=5000)
+    )
     report = run_distributed(cfg)
     if report is not None:
         print("REPORT" + json.dumps(report))
