@@ -967,15 +967,36 @@ def _addsub(ctx: LowerCtx, op: OpNode, sign: int) -> None:
         )
         ctx.set(op.outputs[0], out.astype(out_td.dtype))
         return
-    ls = ctx.smeta(op, "left_shift")
-    v1 = (x1.astype(jnp.int32) - ctx.smeta(op, "zp1")) << ls
-    v2 = (x2.astype(jnp.int32) - ctx.smeta(op, "zp2")) << ls
-    s1 = Q.multiply_by_quantized_multiplier(
-        v1, ctx.smeta(op, "qm1"), ctx.smeta(op, "sh1")
+    ls = int(ctx.smeta(op, "left_shift"))
+    a1 = x1.astype(jnp.int32) - ctx.smeta(op, "zp1")
+    a2 = x2.astype(jnp.int32) - ctx.smeta(op, "zp2")
+    # 8-bit inputs: |x - zp| <= 510, so the input-rescale MBQMs CAN use
+    # the small-operand product (quant.mbqm_single_shifted_small, two
+    # int32 multiplies, bit-identical — tests/test_quant.py).  The ADD
+    # kernels themselves got faster, but whole-model ICN b32 device
+    # time REGRESSED 69 -> 87 ms (the jaxpr change shifted XLA fusion/
+    # layout choices elsewhere), so it stays opt-in for future study
+    # (BAND_ADD_SMALL_MBQM=1).
+    small = (
+        os.environ.get("BAND_ADD_SMALL_MBQM") == "1"
+        and Q.DEFAULT_ROUNDING == "single"
+        and np.dtype(x1.dtype).itemsize == 1
+        and np.dtype(x2.dtype).itemsize == 1
     )
-    s2 = Q.multiply_by_quantized_multiplier(
-        v2, ctx.smeta(op, "qm2"), ctx.smeta(op, "sh2")
-    )
+    if small:
+        s1 = Q.mbqm_single_shifted_small(
+            a1, ctx.smeta(op, "qm1"), ctx.smeta(op, "sh1"), ls
+        )
+        s2 = Q.mbqm_single_shifted_small(
+            a2, ctx.smeta(op, "qm2"), ctx.smeta(op, "sh2"), ls
+        )
+    else:
+        s1 = Q.multiply_by_quantized_multiplier(
+            a1 << ls, ctx.smeta(op, "qm1"), ctx.smeta(op, "sh1")
+        )
+        s2 = Q.multiply_by_quantized_multiplier(
+            a2 << ls, ctx.smeta(op, "qm2"), ctx.smeta(op, "sh2")
+        )
     raw = s1 + sign * s2
     out = Q.multiply_by_quantized_multiplier(
         raw, ctx.smeta(op, "qmo"), ctx.smeta(op, "sho")

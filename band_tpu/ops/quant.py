@@ -136,12 +136,12 @@ def _shr64_floor(hi: jnp.ndarray, lo: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarra
     return jnp.where(ti < 32, small, big)
 
 
-def _mbqm_single(x: jnp.ndarray, qm: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    """Single-rounding MBQM: floor((x*qm + 2^(t-1)) >> t), t = 31 - shift.
-    Clamps in signed int32 for Mosaic compatibility (see _shr64_floor)."""
+def _mbqm_single_from_limbs(
+    hi: jnp.ndarray, lo: jnp.ndarray, shift: jnp.ndarray
+) -> jnp.ndarray:
+    """Single-rounding tail on a prebuilt 64-bit product (hi, lo):
+    floor((P + 2^(t-1)) >> t), t = 31 - shift."""
     t = 31 - jnp.asarray(shift, jnp.int32)
-    hi, lo = _mul64(x, jnp.asarray(qm, jnp.int32))
-    # round constant 2^(t-1) as 64-bit (r_hi, r_lo)
     tm1 = t - 1
     r_lo = jnp.where(
         tm1 < 32,
@@ -157,6 +157,47 @@ def _mbqm_single(x: jnp.ndarray, qm: jnp.ndarray, shift: jnp.ndarray) -> jnp.nda
     carry = (lo2 < lo).astype(jnp.uint32)
     hi2 = hi + r_hi + carry
     return _shr64_floor(hi2, lo2, t)
+
+
+def _mbqm_single(x: jnp.ndarray, qm: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Single-rounding MBQM: floor((x*qm + 2^(t-1)) >> t), t = 31 - shift.
+    Clamps in signed int32 for Mosaic compatibility (see _shr64_floor)."""
+    hi, lo = _mul64(x, jnp.asarray(qm, jnp.int32))
+    return _mbqm_single_from_limbs(hi, lo, shift)
+
+
+def _mul64_shifted_small(a: jnp.ndarray, qm: jnp.ndarray, ls: int):
+    """(hi, lo) u32 limbs of (a << ls) * qm for |a| < 2^15 and qm >= 0.
+
+    The small operand lets the 64-bit product split into TWO int32
+    multiplies (vs the four of the general _mul64 plus its carry and
+    sign-correction chain): a*qm = (a*(qm>>16))<<16 + a*(qm&0xFFFF),
+    both partials int32-exact.  The static left shift rides the limbs.
+    This is the quantized ADD/SUB hot path: the input rescale operates
+    on (x - zp) of an 8-bit tensor, |.| <= 510."""
+    qmi = jnp.asarray(qm, jnp.int32)
+    p_lo = a * (qmi & 0xFFFF)   # |a| * 2^16 < 2^31: int32-exact
+    p_hi = a * (qmi >> 16)      # |a| * 2^15 < 2^30: int32-exact
+    hi1 = (p_hi >> 16).astype(jnp.uint32)   # arithmetic: sign extends
+    lo1 = p_hi.astype(jnp.uint32) << 16
+    hi2 = (p_lo >> 31).astype(jnp.uint32)   # sign extension limb
+    lo2 = p_lo.astype(jnp.uint32)
+    lo = lo1 + lo2
+    hi = hi1 + hi2 + (lo < lo1).astype(jnp.uint32)
+    if ls:
+        hi = (hi << ls) | (lo >> (32 - ls))
+        lo = lo << ls
+    return hi, lo
+
+
+def mbqm_single_shifted_small(
+    a: jnp.ndarray, qm: ArrayLike, shift: ArrayLike, ls: int
+) -> jnp.ndarray:
+    """multiply_by_quantized_multiplier((a << ls), qm, shift) with
+    single rounding, bit-identical to the general path, for |a| < 2^15
+    and qm >= 0 (TFLite multipliers are always positive)."""
+    hi, lo = _mul64_shifted_small(a, jnp.asarray(qm, jnp.int32), ls)
+    return _mbqm_single_from_limbs(hi, lo, jnp.asarray(shift, jnp.int32))
 
 
 def _collapsed_double_pipeline(

@@ -172,3 +172,31 @@ def test_collapsed_pipeline_matches_two_step():
             _reference_two_step(x, qm, shift, rounding)
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_mbqm_small_operand_matches_general():
+    """The ADD/SUB input-rescale fast path (two int32 multiplies) must
+    be bit-identical to the general 64-bit MBQM for every 8-bit-domain
+    operand value and a sweep of multipliers/shifts."""
+    import jax.numpy as jnp
+
+    from band_tpu.ops.quant import (
+        mbqm_single_shifted_small,
+        multiply_by_quantized_multiplier,
+    )
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(np.arange(-510, 511, dtype=np.int32))
+    for _ in range(40):
+        qm = int(rng.integers(1 << 30, 1 << 31))
+        shift = int(rng.integers(-12, 1))
+        for ls in (0, 15, 20):
+            got = np.asarray(
+                mbqm_single_shifted_small(a, qm, shift, ls)
+            )
+            want = np.asarray(
+                multiply_by_quantized_multiplier(
+                    a << ls, qm, shift, rounding="single"
+                )
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"{qm} {shift} {ls}")
