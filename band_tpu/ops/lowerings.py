@@ -643,7 +643,7 @@ def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0):
     hp, wp = int(x_pad.shape[1]), int(x_pad.shape[2])
     oh = (hp - (kh - 1) * dh - 1) // sh + 1
     ow = (wp - (kw - 1) * dw_ - 1) // sw + 1
-    xi = x_pad.astype(jnp.int32)
+    xi = x_pad
     if mult > 1:
         xi = jnp.repeat(xi, mult, axis=-1)
     wv = jnp.asarray(w).reshape(kh, kw, -1).astype(jnp.int32) - jnp.int32(
@@ -658,7 +658,12 @@ def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0):
                 b * dw_: b * dw_ + (ow - 1) * sw + 1: sw,
                 :,
             ]
-            term = sl * wv[a, b]
+            # cast per tap AFTER slicing: an up-front astype(int32) of
+            # the whole padded tensor materializes an int32 relayout
+            # copy (int8 (32,128) vs int32 (8,128) tiling — 2 x 0.5 ms
+            # per ICN b32 iteration); the per-slice convert fuses into
+            # the multiply
+            term = sl.astype(jnp.int32) * wv[a, b]
             acc = term if acc is None else acc + term
     return acc
 
