@@ -181,15 +181,17 @@ def _int_conv(
     dil,
     dn,
     feature_group_count: int = 1,
+    padding="VALID",
 ):
-    """s8 x s8 -> s32 VALID convolution.
+    """s8 x s8 -> s32 convolution (VALID by default; explicit padding
+    pairs use the conv op's own ZERO halo).
 
     int8 mode contracts natively (MXU); f32_split mode runs two f32
     convolutions on hi/lo weight nibbles and recombines in int32 —
     exact because every partial value stays below 2^24."""
     if ctx.conv_mode == "int8":
         return lax.conv_general_dilated(
-            x_i8, w_i8, strides, "VALID", rhs_dilation=dil,
+            x_i8, w_i8, strides, padding, rhs_dilation=dil,
             dimension_numbers=dn, feature_group_count=feature_group_count,
             preferred_element_type=jnp.int32,
         )
@@ -197,6 +199,10 @@ def _int_conv(
     w_lo = (w_i & 15).astype(jnp.float32)
     w_hi = (w_i >> 4).astype(jnp.float32)
     xf = x_i8.astype(jnp.float32)
+    if padding != "VALID":
+        # zero halo, matching the int8 branch's conv-internal padding
+        ph_, pw_ = padding
+        xf = jnp.pad(xf, ((0, 0), tuple(ph_), tuple(pw_), (0, 0)))
 
     # |x|<=128, w_lo<=15, w_hi<=8 -> per-conv |acc| <= 1920*k; need
     # k <= 8192 for f32 exactness; chunk the input channels otherwise
@@ -468,6 +474,37 @@ def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
         w_a = np.clip(wp_, -128, 127)
         out["w_split_a"] = w_a.astype(np.int8)
         out["w_split_b"] = (wp_ - w_a).astype(np.int8)
+        # edge-correction plane: the split-stem conv runs with the
+        # conv op's own ZERO padding (no explicit x_zp-filled pad —
+        # the jnp.pad relayout copy was 47% of retinaface's b1 device
+        # time); zero instead of x_zp in the halo under-counts each
+        # border output by x_zp * (sum of the w' taps hanging off the
+        # input), a STATIC per-position constant added back here.
+        o = op.options
+        sh_, sw_ = o["stride_h"], o["stride_w"]
+        dh_ = o.get("dilation_h", 1)
+        dw2 = o.get("dilation_w", 1)
+        in_h, in_w = int(x_td.shape[1]), int(x_td.shape[2])
+        ph_, pw_ = _conv_pads(o, in_h, in_w, kh, kw)
+        hp, wp2 = in_h + ph_[0] + ph_[1], in_w + pw_[0] + pw_[1]
+        oh = (hp - (kh - 1) * dh_ - 1) // sh_ + 1
+        ow = (wp2 - (kw - 1) * dw2 - 1) // sw_ + 1
+        wsum_ab = wp_.sum(axis=2)  # [kh, kw, oc]
+        inside_h = np.zeros((oh, kh), bool)
+        inside_w = np.zeros((ow, kw), bool)
+        for a in range(kh):
+            rows = np.arange(oh) * sh_ + a * dh_ - ph_[0]
+            inside_h[:, a] = (rows >= 0) & (rows < in_h)
+        for b in range(kw):
+            cols = np.arange(ow) * sw_ + b * dw2 - pw_[0]
+            inside_w[:, b] = (cols >= 0) & (cols < in_w)
+        # plane[i,j,c] = xzp * sum over taps OUTSIDE the input
+        outside = ~(inside_h[:, None, :, None]
+                    & inside_w[None, :, None, :])  # [oh, ow, kh, kw]
+        plane = np.int32(out["x_zp"]) * np.einsum(
+            "ijab,abc->ijc", outside.astype(np.int64), wsum_ab
+        ).astype(np.int32)
+        out["edge_plane"] = plane
     return out
 
 
@@ -582,18 +619,60 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
                               wzp, out_td)
             ctx.set(op.outputs[0], out.reshape(n, hh, ww, oc))
             return
-    # pad explicitly with the zero point so padded taps vanish in real space
-    x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
-                    constant_values=np.int8(xzp))
     if f"op{op.index}/w_split_a" in ctx.params:
         # zp folded into split weights (narrow-input conv): two int8
-        # convs, no window-sum correction (see _prepare_conv2d)
+        # convs with the conv op's own ZERO padding + the static
+        # edge-correction plane (see _prepare_conv2d) — avoids the
+        # explicit x_zp-filled pad whose relayout copy dominated the
+        # stem's device time
         acc = _int_conv(
-            ctx, x_pad, ctx.param(op, "w_split_a"), strides, dil, dn
+            ctx, x, ctx.param(op, "w_split_a"), strides, dil, dn,
+            padding=(ph, pw),
         ) + _int_conv(
-            ctx, x_pad, ctx.param(op, "w_split_b"), strides, dil, dn
-        )
+            ctx, x, ctx.param(op, "w_split_b"), strides, dil, dn,
+            padding=(ph, pw),
+        ) + ctx.param(op, "edge_plane")
+    elif wzp == 0 and ctx.batch_hint * int(x.shape[0]) >= 4:
+        # Serving buckets only: conv-internal ZERO padding + an
+        # in-graph edge plane instead of an explicit x_zp-filled pad.
+        # jnp.pad materializes a relayout copy of the whole activation
+        # per conv (3 x 1 ms of s8[32,114,114,64] copies per ICN b32
+        # iteration — removing them measured 66.7 -> 63.0 ms); zero
+        # instead of x_zp in the halo under-counts each border output
+        # by x_zp * (sum of taps hanging off the input), computed here
+        # from tiny static masks and fused by XLA into the conv
+        # epilogue.  At b1 the per-conv plane einsum costs more than
+        # the pad copy (retinaface b1 1.13 -> 1.21 ms), so small
+        # batches keep the pad.  Bit-exact either way.
+        acc = _int_conv(ctx, x, w, strides, dil, dn, padding=(ph, pw))
+        if xzp != 0 and (ph != (0, 0) or pw != (0, 0)):
+            in_h, in_w = int(x.shape[1]), int(x.shape[2])
+            oh = int(acc.shape[1])
+            ow = int(acc.shape[2])
+            dh_, dw2 = dil
+            ins_h = np.zeros((oh, kh), np.int32)
+            ins_w = np.zeros((ow, kw), np.int32)
+            for a in range(kh):
+                rows = np.arange(oh) * strides[0] + a * dh_ - ph[0]
+                ins_h[:, a] = (rows >= 0) & (rows < in_h)
+            for b in range(kw):
+                cols = np.arange(ow) * strides[1] + b * dw2 - pw[0]
+                ins_w[:, b] = (cols >= 0) & (cols < in_w)
+            wsum_ab = (
+                jnp.asarray(w, jnp.int32).sum(axis=2)  # [kh, kw, oc]
+            )
+            total = wsum_ab.sum(axis=(0, 1))  # [oc]
+            inside = jnp.einsum(
+                "ia,jb,abc->ijc", jnp.asarray(ins_h), jnp.asarray(ins_w),
+                wsum_ab,
+            )
+            acc = acc + jnp.int32(xzp) * (total[None, None, :] - inside)
     else:
+        # pad explicitly with the zero point so padded taps vanish in
+        # real space (wzp != 0: the window-sum correction needs the
+        # x_zp-filled halo)
+        x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
+                        constant_values=np.int8(xzp))
         acc = _int_conv(ctx, x_pad, w, strides, dil, dn)
         if wzp != 0:
             s = _ones_conv(ctx, x_pad, kh, kw, x.shape[-1], strides, dil,
