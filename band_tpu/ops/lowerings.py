@@ -621,17 +621,28 @@ def _conv2d(ctx: LowerCtx, op: OpNode) -> None:
             return
     if f"op{op.index}/w_split_a" in ctx.params:
         # zp folded into split weights (narrow-input conv): two int8
-        # convs with the conv op's own ZERO padding + the static
-        # edge-correction plane (see _prepare_conv2d) — avoids the
-        # explicit x_zp-filled pad whose relayout copy dominated the
-        # stem's device time
-        acc = _int_conv(
-            ctx, x, ctx.param(op, "w_split_a"), strides, dil, dn,
-            padding=(ph, pw),
-        ) + _int_conv(
-            ctx, x, ctx.param(op, "w_split_b"), strides, dil, dn,
-            padding=(ph, pw),
-        ) + ctx.param(op, "edge_plane")
+        # convs, no window-sum correction (see _prepare_conv2d).  At
+        # serving buckets the convs use their own ZERO padding + the
+        # prepare-time edge plane (no pad copy); at b1 reading the
+        # plane constant costs more than the pad (mobilenet b1 0.89 ->
+        # 1.04 ms/iter same-trace A/B), so small batches keep the
+        # x_zp-filled pad.
+        if ctx.batch_hint * int(x.shape[0]) >= 4:
+            acc = _int_conv(
+                ctx, x, ctx.param(op, "w_split_a"), strides, dil, dn,
+                padding=(ph, pw),
+            ) + _int_conv(
+                ctx, x, ctx.param(op, "w_split_b"), strides, dil, dn,
+                padding=(ph, pw),
+            ) + ctx.param(op, "edge_plane")
+        else:
+            x_pad = jnp.pad(x, ((0, 0), ph, pw, (0, 0)),
+                            constant_values=np.int8(xzp))
+            acc = _int_conv(
+                ctx, x_pad, ctx.param(op, "w_split_a"), strides, dil, dn
+            ) + _int_conv(
+                ctx, x_pad, ctx.param(op, "w_split_b"), strides, dil, dn
+            )
     elif wzp == 0 and ctx.batch_hint * int(x.shape[0]) >= 4:
         # Serving buckets only: conv-internal ZERO padding + an
         # in-graph edge plane instead of an explicit x_zp-filled pad.
@@ -705,7 +716,8 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     )
 
 
-def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0):
+def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0,
+                cast_per_slice=True):
     """Depthwise conv as shifted elementwise multiply-adds.
 
     y[n,i,j,c] = sum_{a,b} x[n, i*sh + a*dh, j*sw + b*dw, c//mult]
@@ -722,7 +734,7 @@ def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0):
     hp, wp = int(x_pad.shape[1]), int(x_pad.shape[2])
     oh = (hp - (kh - 1) * dh - 1) // sh + 1
     ow = (wp - (kw - 1) * dw_ - 1) // sw + 1
-    xi = x_pad
+    xi = x_pad if cast_per_slice else x_pad.astype(jnp.int32)
     if mult > 1:
         xi = jnp.repeat(xi, mult, axis=-1)
     wv = jnp.asarray(w).reshape(kh, kw, -1).astype(jnp.int32) - jnp.int32(
@@ -737,12 +749,13 @@ def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0):
                 b * dw_: b * dw_ + (ow - 1) * sw + 1: sw,
                 :,
             ]
-            # cast per tap AFTER slicing: an up-front astype(int32) of
-            # the whole padded tensor materializes an int32 relayout
-            # copy (int8 (32,128) vs int32 (8,128) tiling — 2 x 0.5 ms
-            # per ICN b32 iteration); the per-slice convert fuses into
-            # the multiply
-            term = sl.astype(jnp.int32) * wv[a, b]
+            # serving buckets cast per tap AFTER slicing: an up-front
+            # astype(int32) of the whole padded tensor materializes an
+            # int32 relayout copy (int8 (32,128) vs int32 (8,128)
+            # tiling — 2 x 0.5 ms per ICN b32 iteration); at b1 the
+            # up-front cast wins (mobilenet b1 0.89 vs 1.05 ms/iter)
+            term = (sl.astype(jnp.int32) if cast_per_slice else sl) \
+                * wv[a, b]
             acc = term if acc is None else acc + term
     return acc
 
@@ -855,7 +868,8 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
         or os.environ.get("BAND_DW_TAP_STRIDED", "1") != "0"
     )
     if use_tap:
-        acc = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult, wzp=wzp)
+        acc = _dw_tap_acc(x_pad, w, (kh, kw), strides, dil, mult, wzp=wzp,
+                          cast_per_slice=eff_batch >= 4)
         acc = acc + ctx.param(op, "bias")
         ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
         return
