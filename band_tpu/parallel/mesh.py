@@ -154,19 +154,3 @@ def make_batched_fn(prog: SubgraphProgram, mesh: Mesh, batch: int):
         for _ in range(batch)
     )
     return jax.jit(fn, in_shardings=(p_shard, in_shard))
-
-    def example_inputs(self, rng: np.random.Generator) -> List[np.ndarray]:
-        out = []
-        for shape, dtype in self.prog.input_specs:
-            shape = [max(s, 1) for s in shape]
-            if self.batch_size > 1:
-                shape = [self.batch_size] + shape
-            if np.issubdtype(dtype, np.integer):
-                info = np.iinfo(dtype)
-                out.append(
-                    rng.integers(info.min, info.max, shape, dtype=dtype,
-                                 endpoint=True)
-                )
-            else:
-                out.append(rng.standard_normal(shape).astype(dtype))
-        return out

@@ -585,11 +585,19 @@ class Engine(EngineBase):
         options: Optional[Sequence[RequestOption]] = None,
     ) -> List[int]:
         options = options or [RequestOption()] * len(model_ids)
-        jobs = []
-        for model_id, inputs, option in zip(model_ids, inputs_batch, options):
+        # all-or-nothing: validate every model id before allocating any
+        # ring slot, so a mid-batch failure can't leave earlier requests
+        # half-staged (allocated but never enqueued) — matches the
+        # reference's vector-request contract (engine.cc:455-529)
+        recs = []
+        for model_id in model_ids:
             if model_id in self._unregistering:
                 raise NotFound(f"model {model_id} is being unregistered")
-            rec = self._rec(model_id)
+            recs.append(self._rec(model_id))
+        jobs = []
+        for model_id, inputs, option, rec in zip(
+            model_ids, inputs_batch, options, recs
+        ):
             job = Job(model_id=model_id)
             job.model_fname = rec.model.name
             job.target_worker_id = option.target_worker

@@ -61,6 +61,34 @@ def test_unregister_is_per_model(engine):
     assert engine.has_model(b) and not engine.has_model(a)
 
 
+def test_mixed_batch_is_all_or_nothing(engine):
+    """A batch mixing a valid model with an unregistered one must not
+    partially enqueue: no ring slot allocated, no job id issued for the
+    valid requests (VERDICT r3 weak #7; reference vector-request
+    contract engine.cc:455-529)."""
+    good = _register_add(engine)
+    bad = _register_add(engine)
+    engine.unregister_model(bad)
+    x = np.full((1, 8, 8, 3), 2.0, np.float32)
+
+    rec = engine._rec(good)
+    in_head = rec.input_ring._head
+    out_head = rec.output_ring._head
+    counts_before = engine.get_model_execution_counts()
+
+    with pytest.raises(NotFound):
+        engine.request_async_batch([good, bad], [[x], [x]])
+
+    # nothing staged or enqueued for the valid model
+    assert rec.input_ring._head == in_head
+    assert rec.output_ring._head == out_head
+    time.sleep(0.1)
+    assert engine.get_model_execution_counts() == counts_before
+    # the engine still serves the valid model normally
+    out = engine.request_sync(good, [x])
+    np.testing.assert_allclose(out[0], x * 3.0)
+
+
 def test_unregister_under_load_drains_cleanly(engine):
     """Unregister while requests stream in: no crash, the survivor model
     keeps serving, and the unregistered model's queued jobs fail instead
