@@ -53,7 +53,7 @@ def load() -> Optional[ctypes.CDLL]:
             i, i, vp, vp, vp, vp, vp,  # model table
             i, vp, vp, vp,             # workers
             vp, vp,                    # link-cost table + waiting
-            i, i, ctypes.POINTER(ctypes.c_int),
+            i, i, i, ctypes.POINTER(ctypes.c_int),
         ]
         lib.band_plan_dp.restype = ctypes.c_longlong
         _lib = lib
@@ -118,15 +118,17 @@ class WorkerTables:
 
 def plan_dp(lib, model: PlanTables, workers: WorkerTables,
             link_costs: np.ndarray, waiting_us: np.ndarray,
-            start_unit: int, prev_worker: int):
+            start_unit: int, prev_worker: int, batch: int = 1):
     """Run the native DP; returns (first-hop SubgraphKey | None, end µs).
     `link_costs` is the engine's LinkCostTable.table (4x2 int64) — the
-    same array the Python DP reads, passed by pointer."""
+    same array the Python DP reads, passed by pointer.  `batch` scales
+    the hop bytes (a batched window's continuation moves B x the
+    boundary activations)."""
     out = ctypes.c_int(-1)
     best = lib.band_plan_dp(
         *model.arg_prefix, *workers.arg, link_costs.ctypes.data,
         waiting_us.ctypes.data,
-        start_unit, prev_worker, ctypes.byref(out),
+        start_unit, prev_worker, batch, ctypes.byref(out),
     )
     if best < 0 or out.value < 0:
         return None, 0

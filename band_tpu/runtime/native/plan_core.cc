@@ -61,6 +61,9 @@ extern "C" {
 // DP over (boundary, last-hop worker) states; memo slot `n_workers`
 // encodes "no previous worker" (prev_worker = -1).  Keys must be sorted
 // by begin unit (they are built that way at model registration).
+// `batch` scales the hop bytes: a batched window's continuation moves
+// B x the boundary activations (the execution term is already priced
+// per batch bucket by the estimator; the hop term must match).
 // Returns the best path's end time, or -1 if no path exists; *out_key
 // gets the index of the path's FIRST hop (the subgraph to dispatch now).
 i64 band_plan_dp(int num_units, int n_keys, const int* key_begin,
@@ -69,9 +72,11 @@ i64 band_plan_dp(int num_units, int n_keys, const int* key_begin,
                  int n_workers, const unsigned char* w_is_host,
                  const i64* w_dev, const int* w_proc,
                  const i64* link_costs, const i64* waiting_us,
-                 int start_unit, int prev_worker, int* out_key) {
+                 int start_unit, int prev_worker, int batch,
+                 int* out_key) {
   *out_key = -1;
   if (start_unit >= num_units) return 0;
+  const i64 b = batch > 1 ? batch : 1;
   Workers w{n_workers, w_is_host, w_dev, w_proc};
   const int W = n_workers + 1;  // extra slot: virtual source worker
   std::vector<i64> t((num_units + 1) * W, -1);
@@ -90,7 +95,8 @@ i64 band_plan_dp(int num_units, int n_keys, const int* key_begin,
     for (int j = 0; j < W; ++j) {
       if (trow[j] < 0) continue;
       const int src = (j == n_workers) ? -1 : j;
-      const i64 x = xfer_cost(src, kw, w, boundary_bytes[begin], link_costs);
+      const i64 x =
+          xfer_cost(src, kw, w, boundary_bytes[begin] * b, link_costs);
       i64 arrive = trow[j] + x;
       if (arrive < w_wait) arrive = w_wait;
       const i64 end_time = arrive + expected;
