@@ -475,7 +475,15 @@ class SpmdChannel:
                 w = self.engine.workers[wid]
                 if w._quarantined:
                     continue
-                requeue = w.quarantine()
+                # recover=False: a mesh worker spanning a DEAD process
+                # cannot come back — jax.distributed cluster membership
+                # is fixed at initialize(), a crashed follower cannot
+                # re-join the coordination service, and a recovery probe
+                # would launch a collective that blocks forever waiting
+                # on the dead participant.  Followers stay dead until
+                # the deployment restarts (single-host watchdog
+                # quarantines DO auto-recover, worker.quarantine()).
+                requeue = w.quarantine(recover=False)
                 if requeue:
                     self.engine.enqueue_batch(requeue, push_front=True)
             except Exception:

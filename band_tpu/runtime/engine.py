@@ -965,6 +965,17 @@ class Engine(EngineBase):
                     f"injected fault on worker {worker_id}"
                 )
 
+    def probe_key_for_worker(self, worker_id: int) -> Optional[SubgraphKey]:
+        """Any registered subgraph on the worker (recovery probes for a
+        quarantined worker that had nothing in flight)."""
+        with self._lock:
+            recs = list(self._models.values())
+        for rec in recs:
+            for key in rec.subgraph_keys:
+                if key.worker_id == worker_id:
+                    return key
+        return None
+
     def probe_subgraph(self, key: SubgraphKey) -> bool:
         """One device-recovery probe: invoke the failed subgraph with
         zero inputs and observe completion (reference:

@@ -128,6 +128,11 @@ class EngineBase(abc.ABC):
         (reference: Worker::WaitUntilDeviceAvailable, worker.cc:101-110)"""
         return True
 
+    def probe_key_for_worker(self, worker_id: int) -> Optional[SubgraphKey]:
+        """Any registered subgraph on the worker, for recovery probes
+        when the quarantined worker had nothing in flight."""
+        return None
+
     @abc.abstractmethod
     def try_copy_input_tensors(self, job: Job) -> List[np.ndarray]:
         """Assemble the subgraph's inputs from the input ring buffer and

@@ -65,6 +65,9 @@ class Worker:
         # worker if one blocks past spec.stuck_timeout_ms
         self._busy_since: Optional[float] = None
         self._quarantined = False
+        # dispatch-thread generation: bumped when a rejoin retires a
+        # still-wedged thread and hands the loop to a fresh one
+        self._gen = 0
 
     def _max_depth(self) -> int:
         return self.spec.dispatch_depth
@@ -119,23 +122,83 @@ class Worker:
         t0 = self._busy_since
         return 0.0 if t0 is None else time.monotonic() - t0
 
-    def quarantine(self) -> List[Job]:
-        """Permanently sideline a wedged worker: fail its in-flight
-        jobs so requesters unblock, hand queued jobs back for
-        rescheduling, and report unavailable to every scheduler.  The
-        wedged thread may revive later; retirement guards
-        (_fail_jobs/_complete status checks) keep it from
-        double-finishing anything."""
+    def quarantine(self, recover: bool = True) -> List[Job]:
+        """Sideline a wedged worker: fail its in-flight jobs so
+        requesters unblock, hand queued jobs back for rescheduling, and
+        report unavailable to every scheduler.  The wedged thread may
+        revive later; retirement guards (_fail_jobs/_complete status
+        checks) keep it from double-finishing anything.
+
+        With ``recover`` (the default), the worker gets the same
+        availability re-probing the device-error path has (reference:
+        worker.cc:101-110; round 3's quarantine was permanent — one
+        transient transport hang halved a 2-worker deployment until
+        restart): a side thread probes the wedged subgraph every
+        availability_check_interval_ms and, on success, returns the
+        worker to service with a fresh dispatch thread."""
         self._quarantined = True
         requeue = self._requeue_all()
         with self._cv:
             inflight = list(self._inflight_jobs)
+        probe_key = next(
+            (
+                j.subgraph_key
+                for j in inflight + requeue
+                if j.subgraph_key.is_valid()
+            ),
+            None,
+        )
         self._fail_jobs(inflight)
         for j in requeue:
             j.subgraph_key = type(j.subgraph_key)()  # reassign elsewhere
             j.status = JobStatus.QUEUED
             j.invoke_time = 0
+        if recover:
+            self._start_quarantine_recovery(probe_key)
         return requeue
+
+    def _start_quarantine_recovery(self, probe_key) -> None:
+        def _probe_loop():
+            interval = max(self._avail_check_ms, 1) / 1000.0
+            while not self._kill_event.wait(interval):
+                key = probe_key
+                if key is None or not key.is_valid():
+                    key = self.engine.probe_key_for_worker(self.worker_id)
+                if key is None:
+                    continue
+                if self.engine.probe_subgraph(key):
+                    self._rejoin()
+                    return
+
+        threading.Thread(
+            target=_probe_loop,
+            name=f"band-rejoin-{self.worker_id}",
+            daemon=True,
+        ).start()
+
+    def _rejoin(self) -> None:
+        """Return a quarantined worker to service.  The old dispatch
+        thread may still be wedged inside a transfer, so the generation
+        counter retires it (it exits at its next loop turn without
+        dequeuing anything) and a fresh dispatch thread takes over;
+        zombie dispatch state is cleared first."""
+        with self._cv:
+            self._gen += 1
+            self._inflight_jobs = []
+            self._reset_dispatch_state()
+            self._cv.notify_all()
+        with self._idle_cv:
+            self._processing = False
+            self._idle_cv.notify_all()
+        self._busy_since = None
+        self.start()  # fresh dispatch thread on the new generation
+        self._quarantined = False
+        self._available = True
+        self.engine.trigger()
+
+    def _reset_dispatch_state(self) -> None:
+        """Hook: clear per-flavor dispatch state a wedged thread may
+        have left behind (called under _cv by _rejoin)."""
 
     def set_resource_throttled(self, throttled: bool) -> None:
         if throttled != self._resource_throttled:
@@ -190,13 +253,19 @@ class Worker:
             if mask is not None:
                 cpu_dev.set_thread_affinity(mask)
         depth = max(self._max_depth(), 1)
+        gen = self._gen
         inflight: collections.deque = collections.deque()
         while True:
             with self._cv:
-                while (self._kill is False) and (
+                while (self._kill is False and self._gen == gen) and (
                     self._paused or not (self.has_job() or inflight)
                 ):
                     self._cv.wait(timeout=0.1)
+                if self._gen != gen:
+                    # retired by a rejoin: a fresh thread owns the loop
+                    # now; local in-flight records were failed at
+                    # quarantine time, so abandon them
+                    return
                 if self._kill:
                     while inflight:
                         self._finish(inflight.popleft())
@@ -616,6 +685,11 @@ class GlobalQueueWorker(Worker):
         with self._cv:
             self._batch = []
             self._started = False
+
+    def _reset_dispatch_state(self) -> None:
+        # a wedged thread can leave the one-dispatch slot claimed
+        self._batch = []
+        self._started = False
 
     def get_waiting_time(self) -> int:
         """Remaining time of the in-flight dispatch
