@@ -134,6 +134,8 @@ class SubgraphProgram:
         conv_mode = self.conv_mode
 
         def fn(params, inputs):
+            import jax
+
             ctx = LowerCtx(graph, params, meta, exact=exact,
                            conv_mode=conv_mode)
             ctx.boundary_inputs = frozenset(input_ids)
@@ -142,7 +144,11 @@ class SubgraphProgram:
                 ctx.set(tid, v)
             for oi in op_indices:
                 op = graph.ops[oi]
-                get_lowering(op.opname).trace(ctx, op)
+                # named scope -> HLO op_name metadata -> device-trace
+                # per-model-op attribution (tools/xprof_summary.py
+                # "by graph op" section)
+                with jax.named_scope(f"op{oi:03d}_{op.opname}"):
+                    get_lowering(op.opname).trace(ctx, op)
             return [ctx.arr(t) for t in output_ids]
 
         return fn

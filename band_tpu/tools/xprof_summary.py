@@ -20,6 +20,7 @@ from __future__ import annotations
 import collections
 import glob
 import os
+import re
 import sys
 from typing import Dict, Optional, Tuple
 
@@ -84,17 +85,29 @@ def summarize(
                         str(st.get("hlo_category", "")),
                         str(st.get("source", "")),
                         str(st.get("shape_with_layout", "")),
+                        str(st.get("tf_op", "")),
                     )
         total = sum(agg.values())
         out["total_ms"] = float(out["total_ms"]) + total / 1e9
         by_src: collections.Counter = collections.Counter()
+        by_op: collections.Counter = collections.Counter()
         for nm, ps in agg.items():
             by_src[info[nm][1]] += ps
+            # graph-op attribution: the program builder wraps each op's
+            # lowering in jax.named_scope("opNNN_NAME"), which rides the
+            # HLO op_name into the trace's tf_op stat
+            tf_op = info[nm][3]
+            m = re.search(r"op\d+_\w+", tf_op)
+            by_op[m.group(0) if m else (tf_op.rsplit("/", 1)[-1] or "?")] += ps
         out["ops"] = [
-            (ps / 1e9, nm) + info[nm] for nm, ps in agg.most_common(top_n)
+            (ps / 1e9, nm) + info[nm][:3]
+            for nm, ps in agg.most_common(top_n)
         ]
         out["by_source"] = [
             (ps / 1e9, src) for src, ps in by_src.most_common(top_n)
+        ]
+        out["by_graph_op"] = [
+            (ps / 1e9, op) for op, ps in by_op.most_common(top_n)
         ]
     return out
 
@@ -117,6 +130,9 @@ def main(argv: Optional[list] = None) -> int:
     print("== by source line")
     for ms, src in s["by_source"]:
         print(f"  {ms:8.4f} ms  {src}")
+    print("== by graph op (named scopes)")
+    for ms, opname in s["by_graph_op"]:
+        print(f"  {ms:8.4f} ms  {opname}")
     return 0
 
 
