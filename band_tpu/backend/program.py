@@ -133,8 +133,25 @@ class SubgraphProgram:
         exact = self.exact
         conv_mode = self.conv_mode
 
+        import os
+
+        # Fusion islands (serving buckets): pin each op's lowering as
+        # its own fusion unit by placing an optimization_barrier on its
+        # outputs.  XLA's global fusion/layout search is unstable under
+        # jaxpr changes at these program sizes — measured on ICN b32:
+        # every lowering tweak re-rolled which convs absorbed which
+        # ADD pipelines and introduced multi-ms relayout copies
+        # (docs/performance.md round 4).  With islands, a conv fuses
+        # exactly its own requant epilogue (the standalone-probe form,
+        # 0.43 ms vs 0.6-1.3 in-model) and elementwise ops fuse their
+        # own pipeline.  b1 keeps free-form fusion (cross-op fusion
+        # wins at small batches).  BAND_FUSION_ISLANDS=0/1 overrides.
+        env = os.environ.get("BAND_FUSION_ISLANDS", "")
+        islands = (batch_hint >= 4) if env == "" else env == "1"
+
         def fn(params, inputs):
             import jax
+            from jax import lax
 
             ctx = LowerCtx(graph, params, meta, exact=exact,
                            conv_mode=conv_mode)
@@ -149,6 +166,11 @@ class SubgraphProgram:
                 # "by graph op" section)
                 with jax.named_scope(f"op{oi:03d}_{op.opname}"):
                     get_lowering(op.opname).trace(ctx, op)
+                    if islands:
+                        for t in op.outputs:
+                            v = ctx.env.get(t) if t >= 0 else None
+                            if v is not None and hasattr(v, "dtype"):
+                                ctx.set(t, lax.optimization_barrier(v))
             return [ctx.arr(t) for t in output_ids]
 
         return fn

@@ -710,10 +710,35 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
             d["bias"] = graph.tensor(op.inputs[2]).data.astype(np.float32)
         return d
     kh, kw = w_hwio.shape[0], w_hwio.shape[1]
-    return _prepare_conv_common(
+    out = _prepare_conv_common(
         graph, op, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw,
         exact=exact,
     )
+    # Dense block-diagonal formulation: a depthwise conv with C <= 128
+    # re-expressed as a DENSE conv whose weight is delta-diagonal —
+    # w_dense[a,b,i,j] = w[a,b,j] * (i == j).  The MXU is idle during a
+    # grouped conv / tap accumulation anyway (both are relayout- or
+    # lane-bound); the dense conv rides the same near-roofline emitter
+    # as every other conv, and the off-diagonal zeros contribute
+    # exactly 0 to the int32 accumulator, so it is bit-exact by
+    # construction.  Measured on ICN b32 (ops 39/51, 112^2 s2 C=64):
+    # 2.9 ms/iter of per-slice tap converts -> ~0.3 ms of MXU time.
+    # wzp != 0 would need the window-sum correction (off-diagonals
+    # can't absorb -wzp); those models keep the tap path, which folds
+    # the zp away entirely.
+    c = w_hwio.shape[-1]
+    x_shape = x_td.shape
+    if (
+        out.get("w_zp", 0) == 0
+        and c <= 128
+        and x_shape
+        and x_shape[-1] == c  # depth multiplier 1
+    ):
+        dense = np.zeros((kh, kw, c, c), np.int8)
+        idx = np.arange(c)
+        dense[:, :, idx, idx] = out["w"][:, :, 0, :]
+        out["w_dense"] = dense
+    return out
 
 
 def _dw_tap_acc(x_pad, w, ksize, strides, dil, mult=1, wzp=0,
@@ -861,6 +886,22 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     # elementwise beats the lane-starved grouped conv; measured neutral
     # for the zp-free b1 case, where grouped conv stays)
     eff_batch = ctx.batch_hint * int(x.shape[0])
+    # dense block-diagonal routing (see _prepare_dwconv2d): serving
+    # buckets put the depthwise on the MXU via a delta-diagonal dense
+    # weight — bit-exact, and ~10x faster than tap accumulation on the
+    # strided ICN layers (BAND_DW_DENSE=0 reverts)
+    dense_key = f"op{op.index}/w_dense"
+    if (
+        dense_key in ctx.params
+        and ctx.conv_mode == "int8"
+        and eff_batch >= 4
+        and os.environ.get("BAND_DW_DENSE", "1") != "0"
+    ):
+        acc = _int_conv(ctx, x_pad, ctx.param(op, "w_dense"), strides, dil,
+                        dn)
+        acc = acc + ctx.param(op, "bias")
+        ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
+        return
     use_tap = os.environ.get("BAND_DW_TAP", "1") != "0" and (
         wzp != 0 or eff_batch >= 4
     ) and (
@@ -1037,6 +1078,17 @@ def _prepare_addsub(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
         "qmo": np.int32(qmo), "sho": sho,
         "left_shift": left_shift, "qmin": qmin, "qmax": qmax,
     }
+    # 8-bit inputs: plan the 5-op exact input rescale (split-multiplier
+    # identity, quant.addsub_input_rescale_plan) — replaces the two
+    # general-MBQM input rescales (~25 VPU ops each) that dominate the
+    # quantized ADD pipeline
+    if (
+        Q.DEFAULT_ROUNDING == "single"
+        and t1.dtype.itemsize == 1
+        and t2.dtype.itemsize == 1
+    ):
+        d["lin1"] = Q.addsub_input_rescale_plan(qm1, sh1, left_shift)
+        d["lin2"] = Q.addsub_input_rescale_plan(qm2, sh2, left_shift)
     for tid in op.inputs:
         td = graph.tensor(tid)
         if td.is_constant:
@@ -1068,26 +1120,22 @@ def _addsub(ctx: LowerCtx, op: OpNode, sign: int) -> None:
     ls = int(ctx.smeta(op, "left_shift"))
     a1 = x1.astype(jnp.int32) - ctx.smeta(op, "zp1")
     a2 = x2.astype(jnp.int32) - ctx.smeta(op, "zp2")
-    # 8-bit inputs: |x - zp| <= 510, so the input-rescale MBQMs CAN use
-    # the small-operand product (quant.mbqm_single_shifted_small, two
-    # int32 multiplies, bit-identical — tests/test_quant.py).  The ADD
-    # kernels themselves got faster, but whole-model ICN b32 device
-    # time REGRESSED 69 -> 87 ms (the jaxpr change shifted XLA fusion/
-    # layout choices elsewhere), so it stays opt-in for future study
-    # (BAND_ADD_SMALL_MBQM=1).
-    small = (
-        os.environ.get("BAND_ADD_SMALL_MBQM") == "1"
-        and Q.DEFAULT_ROUNDING == "single"
-        and np.dtype(x1.dtype).itemsize == 1
-        and np.dtype(x2.dtype).itemsize == 1
-    )
-    if small:
-        s1 = Q.mbqm_single_shifted_small(
-            a1, ctx.smeta(op, "qm1"), ctx.smeta(op, "sh1"), ls
-        )
-        s2 = Q.mbqm_single_shifted_small(
-            a2, ctx.smeta(op, "qm2"), ctx.smeta(op, "sh2"), ls
-        )
+    # 8-bit inputs: the input rescale is the 5-op exact split-multiplier
+    # form (quant.addsub_input_rescale — plain mul/add/shift, no 64-bit
+    # limbs), planned at prepare time.  Unlike the round-3 small-MBQM
+    # limb path (kernel-faster but whole-model slower: its jaxpr shape
+    # perturbed XLA fusion/layout around the dw taps), this form is
+    # fusion-friendly elementwise arithmetic.  BAND_ADD_LINEAR=0
+    # reverts to the general MBQM pipeline.
+    lin1 = ctx.smeta(op, "lin1") if "op%d/lin1" % op.index in ctx.meta else None
+    lin2 = ctx.smeta(op, "lin2") if "op%d/lin2" % op.index in ctx.meta else None
+    if (
+        lin1 is not None
+        and lin2 is not None
+        and os.environ.get("BAND_ADD_LINEAR", "1") != "0"
+    ):
+        s1 = Q.addsub_input_rescale(a1, *lin1)
+        s2 = Q.addsub_input_rescale(a2, *lin2)
     else:
         s1 = Q.multiply_by_quantized_multiplier(
             a1 << ls, ctx.smeta(op, "qm1"), ctx.smeta(op, "sh1")

@@ -200,6 +200,42 @@ def mbqm_single_shifted_small(
     return _mbqm_single_from_limbs(hi, lo, jnp.asarray(shift, jnp.int32))
 
 
+def addsub_input_rescale_plan(qm: int, shift: int, ls: int, amax: int = 255):
+    """Host-side plan for the 5-op exact ADD/SUB input rescale below.
+
+    The exact rescale is s(a) = floor(((a << ls)*qm + 2^(t-1)) >> t)
+    with t = 31 - shift.  Dividing numerator and denominator by 2^ls
+    (both exactly divisible / floor-invariant):
+        s(a) = floor((a*qm + 2^(t'-1)) >> t'),  t' = t - ls.
+    Splitting qm = qh*2^t' + ql (ql = low t' bits) makes the first
+    term's division exact, so the floor distributes:
+        s(a) = a*qh + ((a*ql + 2^(t'-1)) >> t')
+    — five int32 ops, NO 64-bit limbs, exact for every |a| <= amax
+    provided both products fit int32:  amax*qh < 2^31 and
+    amax*ql + 2^(t'-1) < 2^31.  Returns (qh, ql, half, t') or None
+    when the preconditions fail (then callers use the general path).
+
+    This replaces the general-MBQM input rescale (~25 VPU ops/element,
+    the dominant cost of the quantized ADD pipeline — ops 68/71/74 of
+    ICN b32 run 2x slower than their twins purely because the residual
+    ADD fused into their conv epilogue, docs/performance.md round 4)."""
+    t = 31 - int(shift)
+    tp = t - int(ls)
+    if tp < 1 or qm < 0:
+        return None
+    qh, ql = qm >> tp, qm & ((1 << tp) - 1)
+    half = 1 << (tp - 1)
+    if amax * qh >= 1 << 31 or amax * ql + half >= 1 << 31:
+        return None
+    return int(qh), int(ql), int(half), int(tp)
+
+
+def addsub_input_rescale(a: jnp.ndarray, qh: int, ql: int, half: int,
+                         tp: int) -> jnp.ndarray:
+    """The 5-op exact input rescale (see addsub_input_rescale_plan)."""
+    return a * jnp.int32(qh) + ((a * jnp.int32(ql) + jnp.int32(half)) >> tp)
+
+
 def _collapsed_double_pipeline(
     x: jnp.ndarray, qm: jnp.ndarray, right: jnp.ndarray, rounding: str
 ) -> jnp.ndarray:

@@ -26,7 +26,14 @@ MODELS = [
     "retinaface_mbv2_quant_160",
     "ICN_quant",
 ]
-N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "400"))
+# 4000-request differenced window (~3 s serving) x BENCH_RUNS repeats,
+# median-of-runs: the transport has documented 2-5x phase swings and the
+# round-3 ~1 s single window was phase-dependent (VERDICT r3 weak #6)
+N_REQUESTS = int(os.environ.get("BENCH_REQUESTS", "4000"))
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+# five-model north-star certification block (BASELINE.md milestone #4);
+# 0 disables
+FIVE_MODEL_MS = int(os.environ.get("BENCH_FIVE_MODEL_MS", "8000"))
 # continuous batching is the engine's serving mode (the mix roofline
 # assumes filled windows); override to 1 to measure serial dispatch.
 # 32 measured 484 (b8) -> 754 (b16) -> 1139 req/s (b32); 64's extra
@@ -263,17 +270,38 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
             for k in rec.subgraph_keys
         }
 
-    t1, st1 = stream(N_REQUESTS)
-    t2, st2 = stream(2 * N_REQUESTS)
-    dt = t2 - t1
-    if dt < 0.05 * t2:
-        # differencing degenerated (fixed costs didn't cancel — seen
-        # when scheduling interleaves the two runs differently): fall
-        # back to the conservative absolute rate of the longer run
-        dt = t2 / 2.0
-    statuses = st2
-    ok1 = sum(1 for v in st1.values() if v == bt.JobStatus.SUCCESS)
-    ok2 = sum(1 for v in statuses.values() if v == bt.JobStatus.SUCCESS)
+    # repeat-and-median the differenced stream (VERDICT r3 weak #6: the
+    # ~1 s single window was phase-dependent on a transport with 2-5x
+    # phase swings); each run differences (N, 2N) so fixed costs cancel
+    run_req_s = []
+    ok_total = 0
+    n_total = 0
+    budget_s = float(os.environ.get("BENCH_RUNS_BUDGET_S", "240"))
+    runs_deadline = time.perf_counter() + budget_s
+    for r in range(max(N_RUNS, 1)):
+        t1, st1 = stream(N_REQUESTS)
+        t2, st2 = stream(2 * N_REQUESTS)
+        dt = t2 - t1
+        if dt < 0.05 * t2:
+            # differencing degenerated (fixed costs didn't cancel — seen
+            # when scheduling interleaves the two runs differently): fall
+            # back to the conservative absolute rate of the longer run
+            dt = t2 / 2.0
+        run_req_s.append(N_REQUESTS / dt)
+        ok_total += sum(
+            1
+            for st in (st1, st2)
+            for v in st.values()
+            if v == bt.JobStatus.SUCCESS
+        )
+        n_total += 3 * N_REQUESTS
+        if time.perf_counter() > runs_deadline:
+            break
+    run_req_s.sort()
+    med_req_s = run_req_s[len(run_req_s) // 2]
+    spread = (
+        (run_req_s[-1] - run_req_s[0]) / med_req_s if med_req_s > 0 else -1.0
+    )
     # correctness spot check: fetch one output per model
     for mid, ins in zip(mids, feeds):
         out = eng.request_sync(mid, ins, timeout=120)
@@ -293,12 +321,14 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
     roofline = -1.0
     if all(m in onchip for m in MODELS):
         roofline = 1000.0 * len(MODELS) / sum(onchip[m] for m in MODELS)
-    req_s = N_REQUESTS / dt
+    req_s = med_req_s
     return {
         "req_s": req_s,
-        "ok": ok1 + ok2,
-        "total": 3 * N_REQUESTS,
-        "secs": dt,
+        "runs": [round(v, 2) for v in run_req_s],
+        "spread": round(spread, 4),
+        "ok": ok_total,
+        "total": n_total,
+        "secs": N_REQUESTS / med_req_s if med_req_s > 0 else -1.0,
         "platform": "tpu" if on_tpu else "cpu",
         "profiled_subgraph_latency_us": profiled,
         "onchip_ms_per_model": onchip,
@@ -308,6 +338,49 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
         ),
         "rtt_probe_ms": round(rtt_ms, 2),
     }
+
+
+def bench_five_model(duration_ms: int) -> dict:
+    """Five-model north-star mix (BASELINE.json milestone #4): a short
+    LSF SLO-mix run (configs/benchmark_slo_mix.json — mobilenet +
+    retinaface + ICN + add + fc, continuous batching, 2 TPU workers +
+    host worker) so the driver artifact certifies the north-star shape
+    without a doc lookup (VERDICT r3 next-round #4; the 60 s endurance
+    table lives in docs/performance.md)."""
+    from band_tpu.tools.benchmark import Benchmark, BenchmarkConfig
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = BenchmarkConfig.from_json(
+        os.path.join(here, "configs", "benchmark_slo_mix.json")
+    )
+    cfg.running_time_ms = duration_ms
+    t0 = time.perf_counter()
+    b = Benchmark(cfg)
+    try:
+        report = b.run()
+    finally:
+        b.engine.shutdown()
+    setup_s = time.perf_counter() - t0 - duration_ms / 1000.0
+    out = {
+        "req_s": round(
+            report["total"]["processed"] / (duration_ms / 1000.0), 2
+        ),
+        "processed": report["total"]["processed"],
+        "canceled": report["total"]["canceled"],
+        "duration_ms": duration_ms,
+        "setup_s": round(setup_s, 1),
+        "per_model": {},
+    }
+    for k, entry in report.items():
+        if not k.startswith("model_"):
+            continue
+        out["per_model"][entry["model"].replace(".tflite", "")] = {
+            "processed": entry["processed"],
+            "slo_satisfaction": round(entry.get("slo_satisfaction", -1.0), 4),
+            "p50_ms": round(entry.get("p50_latency_ms", -1.0), 2),
+            "p99_ms": round(entry.get("p99_latency_ms", -1.0), 2),
+        }
+    return out
 
 
 def bench_tflite_cpu_baseline(budget_s: float = 20.0) -> float:
@@ -344,17 +417,23 @@ def bench_tflite_cpu_baseline(budget_s: float = 20.0) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def _run_tpu_subprocess(timeout_s: float):
+def _run_tpu_subprocess(timeout_s: float, skip_five: bool = False):
     """Run the TPU measurement in a child process so a stalled device
-    service cannot wedge the benchmark; returns the result dict or None."""
+    service cannot wedge the benchmark; returns the result dict or None.
+    `skip_five` drops the five-model block (degraded-phase retries only
+    need the primary metric)."""
     import subprocess
 
+    env = dict(os.environ)
+    if skip_five:
+        env["BENCH_FIVE_MODEL_MS"] = "0"
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--inner"],
             capture_output=True,
             text=True,
             timeout=timeout_s,
+            env=env,
         )
     except subprocess.TimeoutExpired:
         return None
@@ -366,7 +445,13 @@ def _run_tpu_subprocess(timeout_s: float):
 
 def main():
     if "--inner" in sys.argv:
-        print("INNER_RESULT:" + json.dumps(bench_band_tpu()), flush=True)
+        r = bench_band_tpu()
+        if FIVE_MODEL_MS > 0 and r.get("platform") == "tpu":
+            try:
+                r["five_model"] = bench_five_model(FIVE_MODEL_MS)
+            except Exception as e:
+                r["five_model"] = {"error": str(e)[:200]}
+        print("INNER_RESULT:" + json.dumps(r), flush=True)
         return
     # must stay under the driver's outer `timeout 1400 python bench.py`
     # so a stalled TPU still yields the CPU-fallback JSON line
@@ -385,13 +470,17 @@ def main():
         if attempts > 0 and remaining < last_cost * 1.2:
             break
         t0 = time.perf_counter()
-        r = _run_tpu_subprocess(remaining)
+        r = _run_tpu_subprocess(remaining, skip_five=attempts > 0)
         last_cost = time.perf_counter() - t0
         attempts += 1
         if r is None:
             continue
         if result is None or r["req_s"] > result["req_s"]:
+            # keep the five-model block from whichever attempt ran it
+            five = result.get("five_model") if result else None
             result = r
+            if five and not result.get("five_model"):
+                result["five_model"] = five
         if r.get("ratio_vs_roofline", -1) >= 1.0:
             break  # cleared the batch-1 roofline: healthy measurement
     if result is None:
@@ -421,6 +510,9 @@ def main():
                     ),
                     "rtt_probe_ms": result.get("rtt_probe_ms", -1.0),
                     "attempts": attempts,
+                    "runs": result.get("runs", []),
+                    "spread": result.get("spread", -1.0),
+                    "five_model": result.get("five_model", {}),
                     "profiled_subgraph_latency_us": result.get(
                         "profiled_subgraph_latency_us", {}
                     ),

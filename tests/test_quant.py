@@ -200,3 +200,42 @@ def test_mbqm_small_operand_matches_general():
                 )
             )
             np.testing.assert_array_equal(got, want, err_msg=f"{qm} {shift} {ls}")
+
+
+def test_addsub_linear_rescale_exhaustive():
+    """The 5-op split-multiplier input rescale (round 4, the default
+    quantized-ADD input path) must be bit-identical to the general
+    64-bit MBQM for EVERY possible 8-bit-domain operand and a sweep of
+    real (multiplier, shift) pairs produced by quantize_multiplier."""
+    import jax.numpy as jnp
+
+    from band_tpu.ops.quant import (
+        addsub_input_rescale,
+        addsub_input_rescale_plan,
+        multiply_by_quantized_multiplier,
+        quantize_multiplier,
+    )
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(np.arange(-255, 256, dtype=np.int32))
+    planned = 0
+    for _ in range(60):
+        # the real ADD planning domain: value = s_i / twice_max in
+        # (0.25, 0.5]; plus a few arbitrary magnitudes for robustness
+        v = float(rng.uniform(0.25, 0.5)) if rng.random() < 0.7 else \
+            float(rng.uniform(0.01, 0.99))
+        qm, sh = quantize_multiplier(v)
+        for ls in (20, 15):
+            plan = addsub_input_rescale_plan(qm, sh, ls)
+            if plan is None:
+                continue
+            planned += 1
+            got = np.asarray(addsub_input_rescale(a, *plan))
+            want = np.asarray(
+                multiply_by_quantized_multiplier(
+                    a << ls, qm, sh, rounding="single"
+                )
+            )
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f"{qm} {sh} {ls}")
+    assert planned > 50  # the plan must actually apply to real params
