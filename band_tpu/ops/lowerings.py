@@ -459,6 +459,11 @@ def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
         graph, op, w_td, w_hwio, sum_axes=(0, 1, 2), k_taps=kh * kw * ci,
         exact=exact,
     )
+    # (Negative result, round 4: H-folding tiny-ci stems into the
+    # channel dim — concat kh H-shifted views, one [1, kw] conv over
+    # kh*ci channels — REGRESSED on device (ICN op050 0.75 -> 0.98
+    # ms/iter): the concat write costs more than the contraction-lane
+    # win.  docs/performance.md.)
     # narrow-input convs with nonzero weight zp (e.g. a uint8 model's
     # stem conv, ci=3): the window-sum correction runs at ci/128 lane
     # utilization and can cost several times the conv itself (xprof:
@@ -723,21 +728,34 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     # exactly 0 to the int32 accumulator, so it is bit-exact by
     # construction.  Measured on ICN b32 (ops 39/51, 112^2 s2 C=64):
     # 2.9 ms/iter of per-slice tap converts -> ~0.3 ms of MXU time.
-    # wzp != 0 would need the window-sum correction (off-diagonals
-    # can't absorb -wzp); those models keep the tap path, which folds
-    # the zp away entirely.
+    # wzp != 0 (uint8-era models): fold the zp into the diagonal —
+    # conv(x, w - wzp) == conv(x, w) - wzp*winsum(x) exactly — and
+    # split into TWO int8 delta tensors since w - wzp spans
+    # [-255, 255] (the stem w_split trick, applied diagonally).  The
+    # doubled MACs bound the worthwhile C lower (<= 96: mobilenet's
+    # 112^2/56^2 dw layers, its round-4 b32 hot spots).
     c = w_hwio.shape[-1]
     x_shape = x_td.shape
-    if (
-        out.get("w_zp", 0) == 0
-        and c <= 128
-        and x_shape
-        and x_shape[-1] == c  # depth multiplier 1
-    ):
-        dense = np.zeros((kh, kw, c, c), np.int8)
+    wzp = out.get("w_zp", 0)
+    # C gate: the dense emitter is contraction-lane-starved below
+    # C=64 (mobilenet's C=32 112^2 layer regressed 0.39 -> 1.74 ms at
+    # b32; its C=96 layer won 2.45 -> 0.57 — xprof round 4), and the
+    # doubled-MAC split variant stops paying above C=96.
+    if x_shape and x_shape[-1] == c and c >= 64:  # depth multiplier 1
         idx = np.arange(c)
-        dense[:, :, idx, idx] = out["w"][:, :, 0, :]
-        out["w_dense"] = dense
+        if wzp == 0 and c <= 128:
+            dense = np.zeros((kh, kw, c, c), np.int8)
+            dense[:, :, idx, idx] = out["w"][:, :, 0, :]
+            out["w_dense"] = dense
+        elif wzp != 0 and c <= 96:
+            w_i = out["w"][:, :, 0, :].astype(np.int32) - int(wzp)
+            a = np.clip(w_i, -128, 127)
+            dense = np.zeros((kh, kw, c, c), np.int8)
+            dense[:, :, idx, idx] = a.astype(np.int8)
+            out["w_dense"] = dense
+            dense_b = np.zeros((kh, kw, c, c), np.int8)
+            dense_b[:, :, idx, idx] = (w_i - a).astype(np.int8)
+            out["w_dense_b"] = dense_b
     return out
 
 
@@ -899,6 +917,11 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     ):
         acc = _int_conv(ctx, x_pad, ctx.param(op, "w_dense"), strides, dil,
                         dn)
+        if f"op{op.index}/w_dense_b" in ctx.params:
+            # zp-folded diagonal split into two int8 tensors (values
+            # span [-255, 255]); no window-sum correction term at all
+            acc = acc + _int_conv(ctx, x_pad, ctx.param(op, "w_dense_b"),
+                                  strides, dil, dn)
         acc = acc + ctx.param(op, "bias")
         ctx.set(op.outputs[0], _conv_requant(ctx, op, acc))
         return

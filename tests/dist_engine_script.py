@@ -183,6 +183,43 @@ def run_kill(coord, n_procs, pid) -> None:
     os._exit(0)
 
 
+def run_scale(coord, n_procs, pid, n_workers: int) -> None:
+    """4-process scaling point (VERDICT r3 next-round #8): an add-only
+    stream through ONE vs TWO host-spanning mesh workers on the same
+    4-process cluster.  Both meshes take one device from EVERY process
+    (dp=n_procs x tp=1), so every follower participates in every
+    worker's programs; with two workers the driver's per-worker channel
+    locks and the followers' per-worker replay threads must pipeline
+    the two announcement streams concurrently — the processed count is
+    the serialization detector.  Four closed-loop periodic streams
+    (periodic = the reference's RequestSync-then-sleep semantics, so a
+    single stream is latency-bound and can never use a second worker
+    by itself)."""
+    from band_tpu.tools.benchmark import BenchmarkConfig, run_distributed
+
+    d = base_config(coord, n_procs, pid, running_ms=4000)
+    d["models"] = [
+        {"graph": f"{DATA}/add.tflite", "period_ms": 2,
+         "batch_size": 8, "slo_us": 2_000_000}
+        for _ in range(4)
+    ]
+    d["schedulers"] = ["round_robin"]
+    # device i of every process: global ids p*2+i
+    d["workers"] = [
+        {"device": "tpu",
+         "device_ids": [p * 2 + i for p in range(n_procs)],
+         "mesh_shape": [n_procs, 1], "max_batch": 8,
+         "stuck_timeout_ms": 60000}
+        for i in range(n_workers)
+    ]
+    cfg = BenchmarkConfig.from_dict(d)
+    report = run_distributed(cfg)
+    if report is not None:
+        print("REPORT" + json.dumps(report))
+    else:
+        print("FOLLOWER_DONE")
+
+
 def main() -> None:
     coord, n_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else "serve"
@@ -192,6 +229,8 @@ def main() -> None:
         run_hotreg(coord, n_procs, pid)
     elif mode == "kill":
         run_kill(coord, n_procs, pid)
+    elif mode in ("scale1", "scale2"):
+        run_scale(coord, n_procs, pid, int(mode[-1]))
     else:
         raise SystemExit(f"unknown mode {mode}")
 
