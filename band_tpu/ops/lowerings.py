@@ -463,7 +463,11 @@ def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     # channel dim — concat kh H-shifted views, one [1, kw] conv over
     # kh*ci channels — REGRESSED on device (ICN op050 0.75 -> 0.98
     # ms/iter): the concat write costs more than the contraction-lane
-    # win.  docs/performance.md.)
+    # win.  Space-to-depth phase-folding of stride-2 stems regressed
+    # the same way (mobilenet op000 1.58 -> 2.06 ms/iter at b32: the
+    # strided lane-dim phase extraction is the cost).  The tiny-ci
+    # stem wall is data movement in every reformulation tried;
+    # docs/performance.md.)
     # narrow-input convs with nonzero weight zp (e.g. a uint8 model's
     # stem conv, ci=3): the window-sum correction runs at ci/128 lane
     # utilization and can cost several times the conv itself (xprof:
@@ -912,7 +916,7 @@ def _dwconv2d(ctx: LowerCtx, op: OpNode) -> None:
     if (
         dense_key in ctx.params
         and ctx.conv_mode == "int8"
-        and eff_batch >= 4
+        and (eff_batch >= 4 or os.environ.get("BAND_DW_DENSE_B1") == "1")
         and os.environ.get("BAND_DW_DENSE", "1") != "0"
     ):
         acc = _int_conv(ctx, x_pad, ctx.param(op, "w_dense"), strides, dil,

@@ -71,3 +71,4 @@ def test_dense_dw_matches_tap_path(model, needs_split, monkeypatch):
             np.testing.assert_array_equal(a, b)
         checked += 1
     assert checked >= 1, "no dw layer hit the dense gate"
+
