@@ -58,6 +58,11 @@ class ModelExecutor:
         self._params: Dict[SubgraphKey, Dict[str, jax.Array]] = {}
         self._eager: Dict[SubgraphKey, bool] = {}
         self._batched: Dict[SubgraphKey, Dict[int, object]] = {}
+        # (key, bucket) pairs whose executable has completed at least
+        # once: a miss means the next dispatch pays an XLA compile
+        # (minutes on this toolchain) — the engine exempts such
+        # dispatches from the stuck-dispatch watchdog
+        self._warm: set = set()
         self._meshes: Dict[SubgraphKey, object] = {}  # mesh workers only
         # cross-process serving: set by SpmdChannel.attach() on the
         # driver so every launch of a host-spanning program is announced
@@ -239,7 +244,15 @@ class ModelExecutor:
             else jax.device_put(np.asarray(v), device)
             for v in inputs
         ]
-        return fn(self._params[key], args)
+        out = fn(self._params[key], args)
+        self._warm.add((key, 1))
+        return out
+
+    def is_warm(self, key: SubgraphKey, batch: int) -> bool:
+        """Has the (key, bucket) executable completed at least once
+        (i.e. the next dispatch will NOT pay an XLA compile)?"""
+        bucket = 1 if batch <= 1 else 1 << (batch - 1).bit_length()
+        return (key, bucket) in self._warm
 
     def execute_batched(
         self, key: SubgraphKey, inputs_batch: Sequence[Sequence]
@@ -277,6 +290,7 @@ class ModelExecutor:
                 for ins in padded
             )
             outs = fn(self._params[key], args)
+            self._warm.add((key, bucket))
             return [list(outs[b]) for b in range(B)]
         fn = self._batched_fn(key, bucket)
         device = self.devices[0]
@@ -291,6 +305,7 @@ class ModelExecutor:
             for ins in padded
         )
         outs = fn(self._params[key], args)
+        self._warm.add((key, bucket))
         return [list(outs[b]) for b in range(B)]
 
     def _mesh_batched_fn(self, key: SubgraphKey, batch: int):

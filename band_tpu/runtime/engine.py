@@ -15,6 +15,7 @@ device-to-device transfers carried on the job record."""
 from __future__ import annotations
 
 import threading
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -245,6 +246,10 @@ class Engine(EngineBase):
         while not self._watchdog_stop.wait(max(period, 0.05)):
             for w, spec in zip(self.workers, specs):
                 if spec.stuck_timeout_ms <= 0 or w._quarantined:
+                    continue
+                if w._compiling > 0:
+                    # first-run XLA compile in progress (minutes on
+                    # remote-compile toolchains): not a wedge
                     continue
                 busy_ms = w.busy_for() * 1000.0
                 if busy_ms > spec.stuck_timeout_ms:
@@ -994,17 +999,47 @@ class Engine(EngineBase):
         except Exception:
             return False
 
+    def _invoke_compile_aware(self, key: SubgraphKey, fn, batch: int):
+        """Run an executor invoke, flagging the worker as compiling
+        when the (key, bucket) executable has never completed: a first
+        dispatch pays an XLA compile (minutes on some toolchains) and
+        must not be mistaken for a wedged dispatch by the stuck-
+        dispatch watchdog (which would quarantine the worker and fail
+        the whole window)."""
+        rec = self._rec(key.model_id)
+        ex = rec.executors[key.worker_id]
+        worker = (
+            self.workers[key.worker_id]
+            if 0 <= key.worker_id < len(self.workers)
+            else None
+        )
+        if worker is None or ex.is_warm(key, batch):
+            return fn(ex)
+        worker._compiling += 1
+        try:
+            return fn(ex)
+        finally:
+            worker._compiling -= 1
+            # the dispatch continues after the compile; restart the
+            # wedge clock so the compile time isn't charged to it
+            if worker._busy_since is not None:
+                worker._busy_since = time.monotonic()
+
     def invoke(self, key: SubgraphKey, inputs: List[np.ndarray]) -> List:
         self._maybe_fault(key.worker_id)
-        rec = self._rec(key.model_id)
-        return rec.executors[key.worker_id].execute(key, inputs)
+        return self._invoke_compile_aware(
+            key, lambda ex: ex.execute(key, inputs), 1
+        )
 
     def invoke_batched(
         self, key: SubgraphKey, inputs_list: List[List[np.ndarray]]
     ) -> List[List]:
         self._maybe_fault(key.worker_id)
-        rec = self._rec(key.model_id)
-        return rec.executors[key.worker_id].execute_batched(key, inputs_list)
+        return self._invoke_compile_aware(
+            key,
+            lambda ex: ex.execute_batched(key, inputs_list),
+            len(inputs_list),
+        )
 
     def try_copy_input_tensors(self, job: Job) -> List[np.ndarray]:
         """Assemble subgraph inputs from the ring slot (graph inputs) and

@@ -68,6 +68,10 @@ class Worker:
         # dispatch-thread generation: bumped when a rejoin retires a
         # still-wedged thread and hands the loop to a fresh one
         self._gen = 0
+        # >0 while a dispatch is inside a first-run XLA compile (set by
+        # Engine._invoke_compile_aware); the watchdog must not mistake
+        # a long compile for a wedged dispatch
+        self._compiling = 0
 
     def _max_depth(self) -> int:
         return self.spec.dispatch_depth

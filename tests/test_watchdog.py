@@ -155,6 +155,59 @@ def test_quarantined_worker_rejoins_after_transient_hang():
         eng.shutdown()
 
 
+def test_watchdog_exempts_first_run_compiles():
+    """A first dispatch of a (subgraph, bucket) executable pays an XLA
+    compile that can exceed stuck_timeout_ms by orders of magnitude
+    (minutes on remote-compile toolchains); the watchdog must not
+    quarantine it (round 4: cold-bucket compiles mid-stream were
+    quarantined and failed whole windows).  Real wedges (is_warm
+    already true) are still caught — previous test."""
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.SHORTEST_EXPECTED_LATENCY)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,),
+                                  stuck_timeout_ms=200, max_batch=8))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        mid = eng.register_model(bt.Model.from_path(ADD))
+        rec = eng.model_record(mid)
+        ex = rec.executors[0]
+        x = np.full((1, 8, 8, 3), 2.0, np.float32)
+
+        # simulate the cold-bucket scenario (a persisted latency
+        # profile makes registration skip bucket precompilation,
+        # engine.py profile loop): forget the warmed executables and
+        # make the first batched invoke of each bucket block well past
+        # stuck_timeout_ms, like a real first-run XLA compile
+        ex._warm.clear()
+        orig = ex.execute_batched
+        slow_done = set()
+
+        def slow_first(key, inputs_batch):
+            b = len(inputs_batch)
+            if b > 1 and (key, b) not in slow_done:
+                slow_done.add((key, b))
+                time.sleep(1.0)  # 5x the stuck timeout
+            return orig(key, inputs_batch)
+
+        ex.execute_batched = slow_first
+        jids = eng.request_async_batch([mid] * 8, [[x]] * 8)
+        st = eng.wait_all(jids, timeout=30)
+        assert all(s == bt.JobStatus.SUCCESS for s in st.values()), st
+        assert not eng.workers[0]._quarantined
+        # warm now: fast repeat, still healthy
+        jids = eng.request_async_batch([mid] * 8, [[x]] * 8)
+        st = eng.wait_all(jids, timeout=30)
+        assert all(s == bt.JobStatus.SUCCESS for s in st.values()), st
+        assert not eng.workers[0]._quarantined
+    finally:
+        eng.shutdown()
+
+
 def test_watchdog_leaves_healthy_workers_alone():
     eng = make_engine(stuck_ms=400)
     try:
