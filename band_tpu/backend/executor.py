@@ -228,12 +228,16 @@ class ModelExecutor:
             # go through the SPMD channel (announce + sharded placement,
             # parallel/spmd.py run_window)
             if self._spmd is not None:
-                return self._spmd.run_window(self, key, [list(inputs)])[0]
+                out = self._spmd.run_window(self, key, [list(inputs)])[0]
+                self._warm.add((key, 1))
+                return out
             args = tuple(
                 v if isinstance(v, jax.Array) else np.asarray(v)
                 for v in inputs
             )
-            return fn(args)
+            out = fn(args)
+            self._warm.add((key, 1))
+            return out
         # canonicalize to committed device arrays so profiling (numpy
         # zeros) and serving (staged device inputs) share one jit cache
         # entry per subgraph
@@ -277,9 +281,11 @@ class ModelExecutor:
             # Host-spanning groups go through the SPMD channel instead
             # (metadata announce + per-process dp-row placement).
             if self._spmd is not None:
-                return self._spmd.run_window(
+                outs = self._spmd.run_window(
                     self, key, [list(ins) for ins in inputs_batch]
                 )
+                self._warm.add((key, bucket))
+                return outs
             fn = self._mesh_batched_fn(key, bucket)
             padded = list(inputs_batch) + [inputs_batch[0]] * (bucket - B)
             args = tuple(
