@@ -13,7 +13,8 @@ import collections
 import itertools
 import threading
 import traceback
-from typing import Callable, Deque, Dict, List, Optional, Sequence, Set
+from typing import (Callable, Deque, Dict, List, Optional, Sequence, Set,
+                    Tuple)
 
 from ..common import (
     Job,
@@ -31,6 +32,12 @@ from ..tracing.logger import log_error
 from .engine_interface import EngineBase
 
 NUM_FINISHED_RECORDS = 1000
+# status-only retention (job_id -> JobStatus, a few bytes each) far
+# beyond the full-record ring: a caller that enqueues a large burst and
+# waits AFTER completions started must still see every status, even
+# once the records themselves evicted (round-4 bench: the first ~250 of
+# 3000 fast jobs finished and evicted before wait_all subscribed)
+NUM_STATUS_RECORDS = 1_000_000
 
 
 def make_scheduler(stype: SchedulerType, engine: EngineBase, window: int):
@@ -84,6 +91,12 @@ class Planner:
 
         self._finished_lock = threading.Condition()
         self._finished: "collections.OrderedDict[int, Job]" = collections.OrderedDict()
+        # live wait() registrations: (pending id set, output dict)
+        self._waiters: List[Tuple[set, Dict[int, JobStatus]]] = []
+        # status-only history (see NUM_STATUS_RECORDS)
+        self._statuses: "collections.OrderedDict[int, JobStatus]" = (
+            collections.OrderedDict()
+        )
         self._callbacks: Dict[int, RequestCallback] = {}
         self._callback_counter = itertools.count()
         self._execution_counts: Dict[int, int] = {}
@@ -157,21 +170,39 @@ class Planner:
     # ------------------------------------------------------------------
     def wait(self, job_ids: Sequence[int], timeout: float = 60.0) -> Dict[int, JobStatus]:
         """Block until all job ids are finished (reference:
-        planner.cc:155-173)."""
+        planner.cc:155-173).
+
+        Statuses are collected INCREMENTALLY: the finished ring holds
+        NUM_FINISHED_RECORDS (reference parity), so a wait over more
+        ids than the ring can never observe them all simultaneously —
+        the round-4 bench waited on 8000 ids and timed out with every
+        thread idle.  The waiter registers its pending set and
+        enqueue_finished_job delivers each status DIRECTLY under the
+        ring lock, so even a flood of completions that cycles the ring
+        between waiter wakes (lock handoff is not fair) cannot lose
+        one."""
         import time as _time
 
         deadline = _time.monotonic() + timeout
+        pending = set(job_ids)
+        out: Dict[int, JobStatus] = {}
+        reg = (pending, out)
         with self._finished_lock:
-            while not all(j in self._finished for j in job_ids):
-                remaining = deadline - _time.monotonic()
-                if remaining <= 0:
-                    break
-                self._finished_lock.wait(timeout=min(remaining, 0.5))
-            return {
-                j: self._finished[j].status
-                for j in job_ids
-                if j in self._finished
-            }
+            # harvest anything already finished, then subscribe
+            for j in pending.intersection(self._statuses):
+                out[j] = self._statuses[j]
+            for j in out:
+                pending.discard(j)
+            self._waiters.append(reg)
+            try:
+                while pending:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._finished_lock.wait(timeout=min(remaining, 0.5))
+            finally:
+                self._waiters.remove(reg)
+        return out
 
     def get_finished_job(self, job_id: int) -> Optional[Job]:
         with self._finished_lock:
@@ -184,6 +215,7 @@ class Planner:
         with self._finished_lock:
             for jid in job_ids:
                 self._finished.pop(jid, None)
+                self._statuses.pop(jid, None)
 
     def enqueue_finished_job(self, job: Job) -> None:
         """Record ring + wake waiters + fire end-of-request callbacks
@@ -195,6 +227,15 @@ class Planner:
             self._execution_counts[job.model_id] = (
                 self._execution_counts.get(job.model_id, 0) + 1
             )
+            self._statuses[job.job_id] = job.status
+            while len(self._statuses) > NUM_STATUS_RECORDS:
+                self._statuses.popitem(last=False)
+            # deliver to registered waiters directly (see wait):
+            # eviction from the ring can then never lose a status
+            for pending, out in self._waiters:
+                if job.job_id in pending:
+                    out[job.job_id] = job.status
+                    pending.discard(job.job_id)
             self._finished_lock.notify_all()
         for scheduler in self.schedulers:
             on_fin = getattr(scheduler, "on_job_finished", None)

@@ -48,6 +48,25 @@ N_WORKERS = int(os.environ.get("BENCH_WORKERS", "1"))
 DEPTH = int(os.environ.get("BENCH_DEPTH", "8"))
 
 
+_T0 = time.time()
+
+# SIGUSR1 -> all-thread stack dump on stderr (wedge diagnosis on the
+# tunneled transport; harmless otherwise)
+try:
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+except Exception:
+    pass
+
+
+def _dbg(msg: str) -> None:
+    """Phase log on stderr (stdout carries only the JSON contract)."""
+    print(f"[bench {time.time()-_T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def model_paths():
     return [f"{DATA}/{m}.tflite" for m in MODELS]
 
@@ -226,6 +245,7 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
     mids, feeds = [], []
     device = jax.devices()[0] if on_tpu else jax.devices("cpu")[0]
     for path in model_paths():
+        _dbg(f"registering {path.rsplit('/', 1)[-1]}")
         mid = eng.register_model(bt.Model.from_path(path))
         mids.append(mid)
         # stage inputs on-device once: serving-path measurement should not
@@ -237,12 +257,14 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
 
     # warmup through the full engine path (also absorbs the transport's
     # pathological first device->host fetch)
+    _dbg("warmup")
     warm = [
         eng.request_async(mids[i % 3], feeds[i % 3]) for i in range(9)
     ]
     eng.wait_all(warm, timeout=120)
     for mid, ins in zip(mids, feeds):
         eng.request_sync(mid, ins, timeout=300)
+    _dbg("warmup done")
 
     def stream(n):
         """Fire n requests in per-model bursts, wait, barrier-fetch the
@@ -279,6 +301,7 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
     budget_s = float(os.environ.get("BENCH_RUNS_BUDGET_S", "240"))
     runs_deadline = time.perf_counter() + budget_s
     for r in range(max(N_RUNS, 1)):
+        _dbg(f"run {r}: streams {N_REQUESTS}/{2 * N_REQUESTS}")
         t1, st1 = stream(N_REQUESTS)
         t2, st2 = stream(2 * N_REQUESTS)
         dt = t2 - t1
@@ -313,7 +336,9 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
     # serial-chain differencing -> equal-thirds batch-1 mix roofline;
     # the serving number amortizes dispatch via continuous batching, so
     # ratio >= 1.0 is the healthy-transport expectation
+    _dbg(f"runs done: {[round(v, 1) for v in run_req_s]}")
     rtt_ms = _rtt_probe_ms()
+    _dbg("onchip measurement")
     onchip = _measure_onchip_ms(
         budget_s=float(os.environ.get("BENCH_ONCHIP_BUDGET_S", "420")),
         device=device,
@@ -435,8 +460,17 @@ def _run_tpu_subprocess(timeout_s: float, skip_five: bool = False):
             timeout=timeout_s,
             env=env,
         )
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        err = e.stderr
+        if err:
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
+            sys.stderr.write(err[-4000:] + "\n[inner timed out]\n")
         return None
+    # forward the inner's phase log so a stalled/failed attempt is
+    # diagnosable from the driver's captured output
+    if proc.stderr:
+        sys.stderr.write(proc.stderr[-4000:])
     for line in proc.stdout.splitlines():
         if line.startswith("INNER_RESULT:"):
             return json.loads(line[len("INNER_RESULT:"):])
@@ -447,10 +481,12 @@ def main():
     if "--inner" in sys.argv:
         r = bench_band_tpu()
         if FIVE_MODEL_MS > 0 and r.get("platform") == "tpu":
+            _dbg("five-model block")
             try:
                 r["five_model"] = bench_five_model(FIVE_MODEL_MS)
             except Exception as e:
                 r["five_model"] = {"error": str(e)[:200]}
+        _dbg("inner done")
         print("INNER_RESULT:" + json.dumps(r), flush=True)
         return
     # must stay under the driver's outer `timeout 1400 python bench.py`

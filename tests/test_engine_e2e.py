@@ -118,3 +118,49 @@ def test_profile_persistence(tmp_path, rng):
         assert eng2.latency_estimator.get_profiled(key) == profiled
     finally:
         eng2.shutdown()
+
+
+def test_wait_all_beyond_finished_ring_capacity():
+    """wait_all over MORE ids than the finished ring holds
+    (NUM_FINISHED_RECORDS=1000, reference parity) must still return
+    every status: statuses are harvested incrementally as records land
+    (round 4: the bench waited on 8000 ids and timed out with every
+    thread idle because the old wait required all ids in the ring
+    simultaneously)."""
+    import band_tpu as bt
+    from band_tpu.runtime.planner import NUM_FINISHED_RECORDS
+
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU,
+                                  device_ids=(0,), max_batch=32,
+                                  dispatch_depth=8))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        mid = eng.register_model(
+            bt.Model.from_path(model_path("add"))
+        )
+        import jax
+
+        # staged device input (the serving mode): bypasses the input
+        # ring, whose 128-slot validity window is the intended
+        # backpressure for un-staged floods
+        x = jax.device_put(
+            np.full((1, 8, 8, 3), 2.0, np.float32),
+            jax.devices("cpu")[0],
+        )
+        n = 3 * NUM_FINISHED_RECORDS
+        ids = []
+        while len(ids) < n:
+            k = min(32, n - len(ids))
+            ids += eng.request_async_batch([mid] * k, [[x]] * k)
+        st = eng.wait_all(ids, timeout=120)
+        assert len(st) == n, f"missing {n - len(st)} statuses"
+        assert all(s == bt.JobStatus.SUCCESS for s in st.values())
+    finally:
+        eng.shutdown()
