@@ -2125,9 +2125,10 @@ def _prepare_transpose_conv(graph: Graph, op: OpNode, exact: bool) -> Dict[str, 
     xzp = out["x_zp"]
     wzp = out["w_zp"]
     full_sum = w_i8.astype(np.int64).sum(axis=(0, 1, 2))
-    for rh, (u0h, kah, _, _) in enumerate(_tconv_phases(kh, sh, pb_h, out_h)):
-        for rw, (u0w, kaw, _, _) in enumerate(
-                _tconv_phases(kw, sw, pb_w, out_w)):
+    ph_h = _tconv_phases(kh, sh, pb_h, out_h)
+    ph_w = _tconv_phases(kw, sw, pb_w, out_w)
+    for rh, (u0h, kah, _, _) in enumerate(ph_h):
+        for rw, (u0w, kaw, _, _) in enumerate(ph_w):
             wp = np.ascontiguousarray(w_i8[u0h::sh, u0w::sw])
             taps_p = wp.shape[0] * wp.shape[1] * ci
             badj = (
@@ -2171,6 +2172,11 @@ def _transpose_conv(ctx: LowerCtx, op: OpNode) -> None:
 
     pb_h, pb_w = _tconv_pads(o, in_h, in_w, kh, kw, sh, sw, out_h, out_w)
     dn = ("NHWC", "HWIO", "NHWC")
+    # (Round-4 negative result: folding the s^2 phase convs into ONE
+    # conv with sh*sw*oc output channels — bit-exact, tested — ran
+    # 4x SLOWER on device (ICN tconvs 0.58 -> 2.3 ms/iter each): the
+    # emitter handles s^2 small-K convs better than one wide-N conv
+    # whose kernel is half zero-taps.  The per-phase form below stands.)
     # Quant path: bias + the exact requant run PER PHASE (elementwise
     # per-out-channel, so phase-wise application is bit-identical), so
     # the s^2 phase results interleave as int8 — 4x fewer bytes moved

@@ -72,3 +72,4 @@ def test_dense_dw_matches_tap_path(model, needs_split, monkeypatch):
         checked += 1
     assert checked >= 1, "no dw layer hit the dense gate"
 
+
