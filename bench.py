@@ -300,6 +300,12 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
     n_total = 0
     budget_s = float(os.environ.get("BENCH_RUNS_BUDGET_S", "240"))
     runs_deadline = time.perf_counter() + budget_s
+    # discarded pre-stream: the first measured stream of every session
+    # ran systematically ~20% slower than the rest (scheduler/estimator
+    # caches, transport warm-up) — back-to-back A/B sets all showed
+    # run 0 lowest.  Warm everything the streams touch, then measure.
+    _dbg("pre-stream warmup")
+    stream(max(N_REQUESTS // 4, 256))
     for r in range(max(N_RUNS, 1)):
         _dbg(f"run {r}: streams {N_REQUESTS}/{2 * N_REQUESTS}")
         t1, st1 = stream(N_REQUESTS)
