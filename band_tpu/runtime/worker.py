@@ -18,6 +18,7 @@ worker_device_queue.cc:110-125)."""
 from __future__ import annotations
 
 import collections
+import queue as queue_mod
 import threading
 import time
 import traceback
@@ -56,14 +57,22 @@ class Worker:
         # worker reports unavailable so schedulers route around it
         self._resource_throttled = False
         self._thread: Optional[threading.Thread] = None
+        self._retire_thread: Optional[threading.Thread] = None
+        # dispatched-but-unretired records flow to the retirement
+        # thread through here; replaced wholesale on rejoin so a
+        # reviving stale-generation thread can never steal new records
+        self._retire_q: "queue_mod.Queue" = queue_mod.Queue()
+        self._inflight_count = 0  # dispatch backpressure (<= depth)
         self._idle_cv = threading.Condition()
-        self._processing = False
+        self._dispatching = False
         # jobs dispatched but not yet retired (waiting-time estimates)
         self._inflight_jobs: List[Job] = []
-        # monotonic stamp while a dispatch (input copy + launch) or a
-        # retirement is executing; the engine watchdog quarantines the
-        # worker if one blocks past spec.stuck_timeout_ms
+        # monotonic stamps while a dispatch (input copy + launch) /
+        # a retirement (completion ack) is executing; the engine
+        # watchdog quarantines the worker if either blocks past
+        # spec.stuck_timeout_ms
         self._busy_since: Optional[float] = None
+        self._retire_busy_since: Optional[float] = None
         self._quarantined = False
         # dispatch-thread generation: bumped when a rejoin retires a
         # still-wedged thread and hands the loop to a fresh one
@@ -82,15 +91,23 @@ class Worker:
             target=self._work, name=f"band-worker-{self.worker_id}",
             daemon=True,
         )
+        self._retire_thread = threading.Thread(
+            target=self._retire_loop, args=(self._retire_q,),
+            name=f"band-retire-{self.worker_id}", daemon=True,
+        )
         self._thread.start()
+        self._retire_thread.start()
 
     def stop(self) -> None:
         self._kill_event.set()
         with self._cv:
             self._kill = True
             self._cv.notify_all()
+        self._retire_q.put(None)
         if self._thread:
             self._thread.join(timeout=10)
+        if self._retire_thread:
+            self._retire_thread.join(timeout=10)
 
     def pause(self) -> None:
         with self._cv:
@@ -119,12 +136,24 @@ class Worker:
             and not self._resource_throttled
         )
 
+    @property
+    def _processing(self) -> bool:
+        """True while a dispatch is assembling/launching or any window
+        is dispatched-but-unretired (schedulers and wait_until_idle
+        read this)."""
+        return self._dispatching or self._inflight_count > 0
+
     # --- failure detection (engine watchdog) ---
     def busy_for(self) -> float:
-        """Seconds the current dispatch/retirement has been executing
-        (0 when between work units)."""
-        t0 = self._busy_since
-        return 0.0 if t0 is None else time.monotonic() - t0
+        """Seconds the current dispatch or retirement has been
+        executing (0 when between work units); the two run on separate
+        threads (pipelined serving), either can wedge."""
+        now = time.monotonic()
+        out = 0.0
+        for t0 in (self._busy_since, self._retire_busy_since):
+            if t0 is not None:
+                out = max(out, now - t0)
+        return out
 
     def quarantine(self, recover: bool = True) -> List[Job]:
         """Sideline a wedged worker: fail its in-flight jobs so
@@ -186,16 +215,23 @@ class Worker:
         counter retires it (it exits at its next loop turn without
         dequeuing anything) and a fresh dispatch thread takes over;
         zombie dispatch state is cleared first."""
+        old_q = self._retire_q
         with self._cv:
             self._gen += 1
             self._inflight_jobs = []
+            self._inflight_count = 0
+            self._dispatching = False
+            # fresh generation-bound queue: a reviving stale retire
+            # thread holds the old object and can't steal new records
+            self._retire_q = queue_mod.Queue()
             self._reset_dispatch_state()
             self._cv.notify_all()
+        old_q.put(None)  # unblock the old retire thread when it revives
         with self._idle_cv:
-            self._processing = False
             self._idle_cv.notify_all()
         self._busy_since = None
-        self.start()  # fresh dispatch thread on the new generation
+        self._retire_busy_since = None
+        self.start()  # fresh dispatch + retire threads
         self._quarantined = False
         self._available = True
         self.engine.trigger()
@@ -240,12 +276,17 @@ class Worker:
     def _requeue_all(self) -> List[Job]:
         raise NotImplementedError
 
-    # --- main loop (reference: Worker::Work, worker.cc:222-323) ---
-    # Unlike the reference's strictly blocking loop, up to
-    # `dispatch_depth` work units stay in flight so host-side input prep
-    # of the next job overlaps device execution of the previous one;
-    # completions retire in FIFO order so waiting-time estimates and
-    # continuation ordering stay truthful.
+    # --- main loops (reference: Worker::Work, worker.cc:222-323) ---
+    # Unlike the reference's strictly blocking loop, dispatch and
+    # retirement run on SEPARATE threads: up to `dispatch_depth` work
+    # units stay in flight, the dispatch thread never blocks on a
+    # completion ack, and the retirement thread drains whatever has
+    # accumulated with ONE ack per drain (device programs execute in
+    # order, so readiness of the newest record implies the older ones
+    # finished).  Round-4 thread sampling showed the single-threaded
+    # loop spending 77% of its time inside the retirement ack on a
+    # high-RTT transport — every ack stalled dispatch for a full round
+    # trip and drained the device.
     def _work(self) -> None:
         # pin the dispatch thread to the configured core set (reference:
         # Worker::UpdateWorkerThread, worker.cc:61-91 — the reference pins
@@ -258,61 +299,111 @@ class Worker:
                 cpu_dev.set_thread_affinity(mask)
         depth = max(self._max_depth(), 1)
         gen = self._gen
-        inflight: collections.deque = collections.deque()
+        q = self._retire_q
         while True:
             with self._cv:
                 while (self._kill is False and self._gen == gen) and (
-                    self._paused or not (self.has_job() or inflight)
+                    self._paused
+                    or not self.has_job()
+                    or self._inflight_count >= depth
                 ):
                     self._cv.wait(timeout=0.1)
                 if self._gen != gen:
                     # retired by a rejoin: a fresh thread owns the loop
-                    # now; local in-flight records were failed at
-                    # quarantine time, so abandon them
+                    # now (in-flight records were failed at quarantine)
                     return
                 if self._kill:
-                    while inflight:
-                        self._finish(inflight.popleft())
+                    q.put(None)
                     return
-                jobs = []
-                if self.has_job() and len(inflight) < depth:
-                    jobs = self._dequeue_many()
-                    # visible to has_jobs_for/waiting-time from the moment
-                    # they leave the queue (no blind window during the
-                    # input-copy + launch phase)
-                    self._inflight_jobs.extend(jobs)
-                if jobs or inflight:
-                    self._processing = True
+                jobs = self._dequeue_many()
+                # visible to has_jobs_for/waiting-time from the moment
+                # they leave the queue (no blind window during the
+                # input-copy + launch phase)
+                self._inflight_jobs.extend(jobs)
+                if jobs:
+                    self._dispatching = True
+            if not jobs:
+                continue
             try:
                 self._busy_since = time.monotonic()
-                if jobs:
-                    rec = self._dispatch(jobs)
-                    if rec is not None:
-                        inflight.append(rec)
-                if inflight and (len(inflight) >= depth or not self.has_job()):
-                    # retire the whole window with ONE completion
-                    # observation: device programs execute in order, so
-                    # readiness of the newest dispatch implies all older
-                    # ones finished — on high-RTT transports this
-                    # amortizes the per-ack round trip across the window
-                    recs = list(inflight)
-                    inflight.clear()
-                    self._finish_window(recs)
+                rec = self._dispatch(jobs)
+                if rec is not None:
+                    with self._cv:
+                        self._inflight_count += 1
+                    q.put(rec)
             except Exception:  # safety net: never kill the worker thread
                 log_error(
-                    "worker %d loop error:\n%s",
+                    "worker %d dispatch error:\n%s",
                     self.worker_id, traceback.format_exc(),
                 )
-                while inflight:
-                    failed_jobs, _ = inflight.popleft()
-                    self._fail_jobs(failed_jobs)
+                self._fail_jobs(jobs)
             finally:
                 self._busy_since = None
                 with self._idle_cv:
-                    self._processing = bool(inflight)
+                    self._dispatching = False
                     self._idle_cv.notify_all()
-                if not inflight:
+
+    def _retire_loop(self, q: "queue_mod.Queue") -> None:
+        """Retirement thread: drain dispatched records, observe
+        completion once per drained batch, retire in FIFO order.  The
+        queue object is generation-bound (a rejoin swaps in a fresh
+        one), so a reviving stale thread exits without touching new
+        records."""
+        gen = self._gen
+        while True:
+            rec = q.get()
+            if self._gen != gen:
+                return
+            if rec is None:
+                # kill: retire whatever was dispatched before the
+                # sentinel so shutdown doesn't strand finished windows
+                recs = []
+                while True:
+                    try:
+                        r2 = q.get_nowait()
+                    except queue_mod.Empty:
+                        break
+                    if r2 is not None:
+                        recs.append(r2)
+                if recs:
+                    try:
+                        self._finish_window(recs)
+                    except Exception:
+                        for jobs_i, _ in recs:
+                            self._fail_jobs(jobs_i)
+                return
+            recs = [rec]
+            stop = False
+            while True:
+                try:
+                    r2 = q.get_nowait()
+                except queue_mod.Empty:
+                    break
+                if r2 is None:
+                    stop = True
+                    break
+                recs.append(r2)
+            try:
+                self._retire_busy_since = time.monotonic()
+                self._finish_window(recs)
+            except Exception:
+                log_error(
+                    "worker %d retire error:\n%s",
+                    self.worker_id, traceback.format_exc(),
+                )
+                for jobs_i, _ in recs:
+                    self._fail_jobs(jobs_i)
+            finally:
+                self._retire_busy_since = None
+                with self._cv:
+                    self._inflight_count -= len(recs)
+                    self._cv.notify_all()
+                with self._idle_cv:
+                    self._idle_cv.notify_all()
+                if self._inflight_count <= 0:
                     self.engine.trigger()
+            if stop or self._gen != gen:
+                return
 
     def _drop_inflight(self, jobs: List[Job]) -> None:
         with self._cv:
