@@ -63,6 +63,10 @@ class ModelExecutor:
         # (minutes on this toolchain) — the engine exempts such
         # dispatches from the stuck-dispatch watchdog
         self._warm: set = set()
+        # per-key largest warm bucket (read by Engine.ready_batch_limit
+        # while a background warm-up is pending; kept as a plain dict so
+        # readers never iterate the mutating set)
+        self._warm_max: Dict[SubgraphKey, int] = {}
         self._meshes: Dict[SubgraphKey, object] = {}  # mesh workers only
         # cross-process serving: set by SpmdChannel.attach() on the
         # driver so every launch of a host-spanning program is announced
@@ -220,7 +224,13 @@ class ModelExecutor:
         if prog is None:
             raise ExecutionError(f"subgraph {key} not prepared")
         if self._eager[key]:
-            return self._execute_eager(prog, inputs)
+            out = self._execute_eager(prog, inputs)
+            # eager subgraphs compile nothing after the first run; leaving
+            # them permanently cold would give every dispatch the
+            # _compiling watchdog exemption — a genuinely wedged
+            # retirement would go undetected (ADVICE r4)
+            self._mark_warm(key, 1)
+            return out
         fn = self._fns[key]
         if len(self.devices) > 1:
             # mesh path: the jitted fn has explicit in_shardings and
@@ -229,14 +239,14 @@ class ModelExecutor:
             # parallel/spmd.py run_window)
             if self._spmd is not None:
                 out = self._spmd.run_window(self, key, [list(inputs)])[0]
-                self._warm.add((key, 1))
+                self._mark_warm(key, 1)
                 return out
             args = tuple(
                 v if isinstance(v, jax.Array) else np.asarray(v)
                 for v in inputs
             )
             out = fn(args)
-            self._warm.add((key, 1))
+            self._mark_warm(key, 1)
             return out
         # canonicalize to committed device arrays so profiling (numpy
         # zeros) and serving (staged device inputs) share one jit cache
@@ -249,8 +259,18 @@ class ModelExecutor:
             for v in inputs
         ]
         out = fn(self._params[key], args)
-        self._warm.add((key, 1))
+        self._mark_warm(key, 1)
         return out
+
+    def _mark_warm(self, key: SubgraphKey, bucket: int) -> None:
+        self._warm.add((key, bucket))
+        if bucket > self._warm_max.get(key, 1):
+            self._warm_max[key] = bucket
+
+    def max_warm_bucket(self, key: SubgraphKey) -> int:
+        """Largest bucket whose executable has completed at least once
+        (1 if only single-request dispatches have run)."""
+        return self._warm_max.get(key, 1)
 
     def is_warm(self, key: SubgraphKey, batch: int) -> bool:
         """Has the (key, bucket) executable completed at least once
@@ -268,11 +288,13 @@ class ModelExecutor:
             return [self.execute(key, inputs_batch[0])]
         if key not in self._programs:
             raise ExecutionError(f"subgraph {key} not prepared")
-        if self._eager[key]:
-            return [self.execute(key, ins) for ins in inputs_batch]
         # bucket to the next power of two (pad with the first request) so
         # at most log2(max_batch) executables exist per subgraph
         bucket = 1 << (B - 1).bit_length()
+        if self._eager[key]:
+            out = [self.execute(key, ins) for ins in inputs_batch]
+            self._mark_warm(key, bucket)  # eager: nothing compiles
+            return out
         if len(self.devices) > 1:
             # mesh worker: the whole window is ONE sharded dispatch —
             # batch on "dp", weights on "tp" (parallel/mesh.py
@@ -284,7 +306,7 @@ class ModelExecutor:
                 outs = self._spmd.run_window(
                     self, key, [list(ins) for ins in inputs_batch]
                 )
-                self._warm.add((key, bucket))
+                self._mark_warm(key, bucket)
                 return outs
             fn = self._mesh_batched_fn(key, bucket)
             padded = list(inputs_batch) + [inputs_batch[0]] * (bucket - B)
@@ -296,7 +318,7 @@ class ModelExecutor:
                 for ins in padded
             )
             outs = fn(self._params[key], args)
-            self._warm.add((key, bucket))
+            self._mark_warm(key, bucket)
             return [list(outs[b]) for b in range(B)]
         fn = self._batched_fn(key, bucket)
         device = self.devices[0]
@@ -311,7 +333,7 @@ class ModelExecutor:
             for ins in padded
         )
         outs = fn(self._params[key], args)
-        self._warm.add((key, bucket))
+        self._mark_warm(key, bucket)
         return [list(outs[b]) for b in range(B)]
 
     def _mesh_batched_fn(self, key: SubgraphKey, batch: int):

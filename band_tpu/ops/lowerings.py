@@ -480,7 +480,13 @@ def _prepare_conv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
         if w_td.dtype == np.uint8:
             w_i = w_i - 128
         wp_ = w_i - int(out["w_zp"])
-        w_a = np.clip(wp_, -128, 127)
+        # clip the first tensor to [-127, 127] so the remainder stays in
+        # int8 for |wp_| <= 254; wp_ == 255 (weight 127 with recentered
+        # wzp == -128) has no exact two-int8 split — skip the fold
+        # rather than let .astype(int8) wrap 128 -> -128 (ADVICE r4)
+        w_a = np.clip(wp_, -127, 127)
+        if (wp_ - w_a).max() > 127:  # remainder -128 is still valid int8
+            return out
         out["w_split_a"] = w_a.astype(np.int8)
         out["w_split_b"] = (wp_ - w_a).astype(np.int8)
         # edge-correction plane: the split-stem conv runs with the
@@ -753,13 +759,18 @@ def _prepare_dwconv2d(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
             out["w_dense"] = dense
         elif wzp != 0 and c <= 96:
             w_i = out["w"][:, :, 0, :].astype(np.int32) - int(wzp)
-            a = np.clip(w_i, -128, 127)
-            dense = np.zeros((kh, kw, c, c), np.int8)
-            dense[:, :, idx, idx] = a.astype(np.int8)
-            out["w_dense"] = dense
-            dense_b = np.zeros((kh, kw, c, c), np.int8)
-            dense_b[:, :, idx, idx] = (w_i - a).astype(np.int8)
-            out["w_dense_b"] = dense_b
+            # clip to [-127, 127] so the remainder fits int8 for
+            # |w_i| <= 254; w_i == 255 can't split into two int8 taps —
+            # keep tap accumulation there instead of wrapping a
+            # diagonal by 256 (ADVICE r4)
+            a = np.clip(w_i, -127, 127)
+            if (w_i - a).max() <= 127:  # remainder -128 is valid int8
+                dense = np.zeros((kh, kw, c, c), np.int8)
+                dense[:, :, idx, idx] = a.astype(np.int8)
+                out["w_dense"] = dense
+                dense_b = np.zeros((kh, kw, c, c), np.int8)
+                dense_b[:, :, idx, idx] = (w_i - a).astype(np.int8)
+                out["w_dense_b"] = dense_b
     return out
 
 
@@ -1116,6 +1127,12 @@ def _prepare_addsub(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     ):
         d["lin1"] = Q.addsub_input_rescale_plan(qm1, sh1, left_shift)
         d["lin2"] = Q.addsub_input_rescale_plan(qm2, sh2, left_shift)
+    if not exact:
+        # throughput mode: one f32 FMA per input + one round replaces
+        # the three-MBQM fixed-point pipeline (the measured ADD islands
+        # of ICN's b32 profile); ±1 quant unit of the exact path
+        d["f1"] = float(s1 / so)
+        d["f2"] = float(s2 / so)
     for tid in op.inputs:
         td = graph.tensor(tid)
         if td.is_constant:
@@ -1147,6 +1164,18 @@ def _addsub(ctx: LowerCtx, op: OpNode, sign: int) -> None:
     ls = int(ctx.smeta(op, "left_shift"))
     a1 = x1.astype(jnp.int32) - ctx.smeta(op, "zp1")
     a2 = x2.astype(jnp.int32) - ctx.smeta(op, "zp2")
+    if not ctx.exact and f"op{op.index}/f1" in ctx.meta:
+        # throughput mode (RuntimeConfig.numerics == "fast"): rescale in
+        # float32 — exact-path agreement within ±1 quant unit, a
+        # fraction of the VPU ops (accuracy-gated by tools/evaluate)
+        f = (
+            a1.astype(jnp.float32) * ctx.smeta(op, "f1")
+            + sign * a2.astype(jnp.float32) * ctx.smeta(op, "f2")
+        )
+        out = jnp.round(f).astype(jnp.int32) + ctx.smeta(op, "zpo")
+        out = jnp.clip(out, ctx.smeta(op, "qmin"), ctx.smeta(op, "qmax"))
+        ctx.set(op.outputs[0], out.astype(out_td.dtype))
+        return
     # 8-bit inputs: the input rescale is the 5-op exact split-multiplier
     # form (quant.addsub_input_rescale — plain mul/add/shift, no 64-bit
     # limbs), planned at prepare time.  Unlike the round-3 small-MBQM
@@ -1209,6 +1238,8 @@ def _prepare_mul(graph: Graph, op: OpNode, exact: bool) -> Dict[str, Any]:
     qmin, qmax = Q.activation_range(act, so, zpo, out_td.dtype)
     d.update({"zp1": zp1, "zp2": zp2, "zpo": zpo, "qm": np.int32(qm),
               "sh": sh, "qmin": qmin, "qmax": qmax})
+    if not exact:
+        d["fm"] = float(np.float32(s1) * np.float32(s2) / np.float32(so))
     return d
 
 
@@ -1221,6 +1252,15 @@ def _mul(ctx: LowerCtx, op: OpNode) -> None:
         acc = (x1.astype(jnp.int32) - ctx.smeta(op, "zp1")) * (
             x2.astype(jnp.int32) - ctx.smeta(op, "zp2")
         )
+        if not ctx.exact and f"op{op.index}/fm" in ctx.meta:
+            # throughput mode: f32 rescale (±1 LSB of the exact path)
+            out = jnp.round(
+                acc.astype(jnp.float32) * ctx.smeta(op, "fm")
+            ).astype(jnp.int32) + ctx.smeta(op, "zpo")
+            out = jnp.clip(out, ctx.smeta(op, "qmin"),
+                           ctx.smeta(op, "qmax"))
+            ctx.set(op.outputs[0], out.astype(out_td.dtype))
+            return
         # TFLite's builtin int8 MUL kernels (both the elementwise and the
         # BroadcastMul4DSlow paths) requantize with the gemmlowp
         # double-rounding MBQM, unlike ADD/MEAN which use single-rounding

@@ -60,6 +60,14 @@ class EngineBase(abc.ABC):
         the TPU's MXU wants batched programs)."""
         return 1
 
+    def ready_batch_limit(self, key: SubgraphKey) -> int:
+        """Largest continuous-batching window dispatchable for `key`
+        without paying a first-run XLA compile; workers and stacking
+        schedulers cap coalescing at min(worker limit, this) while a
+        background bucket warm-up is in flight (Engine docs).  Default:
+        unbounded."""
+        return 1 << 30
+
     # --- model / subgraph queries ----------------------------------------
     def has_model(self, model_id: int) -> bool:
         """False once a model has been unregistered (default: all model

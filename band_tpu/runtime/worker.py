@@ -67,12 +67,15 @@ class Worker:
         self._dispatching = False
         # jobs dispatched but not yet retired (waiting-time estimates)
         self._inflight_jobs: List[Job] = []
-        # monotonic stamps while a dispatch (input copy + launch) /
-        # a retirement (completion ack) is executing; the engine
-        # watchdog quarantines the worker if either blocks past
-        # spec.stuck_timeout_ms
-        self._busy_since: Optional[float] = None
-        self._retire_busy_since: Optional[float] = None
+        # (generation, monotonic) stamps while a dispatch (input copy +
+        # launch) / a retirement (completion ack) is executing; the
+        # engine watchdog quarantines the worker if either blocks past
+        # spec.stuck_timeout_ms.  Generation-tagged so a stale thread
+        # reviving after a rejoin can neither clear the new
+        # generation's stamp nor leave a phantom stamp the watchdog
+        # would read as a wedge (busy_for ignores old-generation tags).
+        self._busy_since: Optional[tuple] = None
+        self._retire_busy_since: Optional[tuple] = None
         self._quarantined = False
         # dispatch-thread generation: bumped when a rejoin retires a
         # still-wedged thread and hands the loop to a fresh one
@@ -150,9 +153,10 @@ class Worker:
         threads (pipelined serving), either can wedge."""
         now = time.monotonic()
         out = 0.0
-        for t0 in (self._busy_since, self._retire_busy_since):
-            if t0 is not None:
-                out = max(out, now - t0)
+        gen = self._gen
+        for st in (self._busy_since, self._retire_busy_since):
+            if st is not None and st[0] == gen:
+                out = max(out, now - st[1])
         return out
 
     def quarantine(self, recover: bool = True) -> List[Job]:
@@ -325,22 +329,32 @@ class Worker:
             if not jobs:
                 continue
             try:
-                self._busy_since = time.monotonic()
-                rec = self._dispatch(jobs)
+                self._busy_since = (gen, time.monotonic())
+                rec = self._dispatch(jobs, gen)
                 if rec is not None:
                     with self._cv:
-                        self._inflight_count += 1
-                    q.put(rec)
+                        if self._gen == gen:
+                            self._inflight_count += 1
+                            q.put(rec)
+                        # else: a rejoin retired this generation while
+                        # the dispatch was in flight — its jobs were
+                        # already failed at quarantine; leaking the +1
+                        # into the fresh counter would block dispatch
+                        # forever (ADVICE r4 high)
             except Exception:  # safety net: never kill the worker thread
                 log_error(
                     "worker %d dispatch error:\n%s",
                     self.worker_id, traceback.format_exc(),
                 )
-                self._fail_jobs(jobs)
+                if self._gen == gen:
+                    self._fail_jobs(jobs)
             finally:
-                self._busy_since = None
+                st = self._busy_since
+                if st is not None and st[0] == gen:
+                    self._busy_since = None
                 with self._idle_cv:
-                    self._dispatching = False
+                    if self._gen == gen:
+                        self._dispatching = False
                     self._idle_cv.notify_all()
 
     def _retire_loop(self, q: "queue_mod.Queue") -> None:
@@ -367,7 +381,7 @@ class Worker:
                         recs.append(r2)
                 if recs:
                     try:
-                        self._finish_window(recs)
+                        self._finish_window(recs, gen)
                     except Exception:
                         for jobs_i, _ in recs:
                             self._fail_jobs(jobs_i)
@@ -384,23 +398,30 @@ class Worker:
                     break
                 recs.append(r2)
             try:
-                self._retire_busy_since = time.monotonic()
-                self._finish_window(recs)
+                self._retire_busy_since = (gen, time.monotonic())
+                self._finish_window(recs, gen)
             except Exception:
                 log_error(
                     "worker %d retire error:\n%s",
                     self.worker_id, traceback.format_exc(),
                 )
-                for jobs_i, _ in recs:
-                    self._fail_jobs(jobs_i)
+                if self._gen == gen:
+                    for jobs_i, _ in recs:
+                        self._fail_jobs(jobs_i)
             finally:
-                self._retire_busy_since = None
+                st = self._retire_busy_since
+                if st is not None and st[0] == gen:
+                    self._retire_busy_since = None
                 with self._cv:
-                    self._inflight_count -= len(recs)
-                    self._cv.notify_all()
+                    if self._gen == gen:
+                        # a stale thread decrementing the fresh counter
+                        # would push it negative and un-gate dispatch
+                        # past the depth limit (ADVICE r4 high)
+                        self._inflight_count -= len(recs)
+                        self._cv.notify_all()
                 with self._idle_cv:
                     self._idle_cv.notify_all()
-                if self._inflight_count <= 0:
+                if self._gen == gen and self._inflight_count <= 0:
                     self.engine.trigger()
             if stop or self._gen != gen:
                 return
@@ -423,10 +444,13 @@ class Worker:
             self.engine.enqueue_finished_job(j)
         self._drop_inflight(jobs)
 
-    def _dispatch(self, jobs: List[Job]):
+    def _dispatch(self, jobs: List[Job], gen: Optional[int] = None):
         """Assemble inputs and launch (no completion wait).  Returns an
         in-flight record or None if the error paths consumed the jobs.
-        The caller has already marked `jobs` in-flight."""
+        The caller has already marked `jobs` in-flight.  `gen` is the
+        calling thread's dispatch generation: error paths from a stale
+        (pre-rejoin) thread must not resurrect jobs that quarantine
+        already failed, nor mutate fresh-generation dispatch state."""
         key = jobs[0].subgraph_key
         try:
             inputs_list = [
@@ -444,6 +468,8 @@ class Worker:
         except ExecutionError:
             for j in jobs:
                 tracer().end_subgraph(j)
+            if gen is not None and self._gen != gen:
+                return None  # stale thread: jobs already failed at quarantine
             self._drop_inflight(jobs)
             self._handle_device_error(jobs[0])
             for j in jobs[1:]:
@@ -451,23 +477,27 @@ class Worker:
                 j.status = JobStatus.QUEUED
                 j.invoke_time = 0
                 self.engine.enqueue_batch([j], push_front=True)
-            self._on_dispatch_consumed(jobs)
+            self._on_dispatch_consumed(jobs, gen)
             return None
         except Exception:
+            if gen is not None and self._gen != gen:
+                return None  # stale thread: jobs already failed at quarantine
             self._drop_inflight(jobs)
             for j in jobs:
                 j.status = JobStatus.INVOKE_FAILURE
                 j.end_time = now_us()
                 tracer().end_subgraph(j)
                 self.engine.enqueue_finished_job(j)
-            self._on_dispatch_consumed(jobs)
+            self._on_dispatch_consumed(jobs, gen)
             return None
 
-    def _on_dispatch_consumed(self, jobs: List[Job]) -> None:
+    def _on_dispatch_consumed(
+        self, jobs: List[Job], gen: Optional[int] = None
+    ) -> None:
         """Hook: an error path consumed dequeued jobs without an
         in-flight record (so _finish will never run for them)."""
 
-    def _finish_window(self, recs) -> None:
+    def _finish_window(self, recs, gen: Optional[int] = None) -> None:
         """Retire several in-flight work units, blocking only on the
         newest (in-order execution makes the older ones ready too).
         A failure retiring one record must not strand the others (the
@@ -484,15 +514,18 @@ class Worker:
                 ready_hint = False
         for rec in recs:
             try:
-                self._finish(rec, ready_hint=ready_hint)
+                self._finish(rec, ready_hint=ready_hint, gen=gen)
             except Exception:
                 log_error(
                     "worker %d retire error:\n%s",
                     self.worker_id, traceback.format_exc(),
                 )
-                self._fail_jobs(rec[0])
+                if gen is None or self._gen == gen:
+                    self._fail_jobs(rec[0])
 
-    def _finish(self, rec, ready_hint: bool = False) -> None:
+    def _finish(
+        self, rec, ready_hint: bool = False, gen: Optional[int] = None
+    ) -> None:
         """Retire one in-flight work unit: observe completion, update
         the cost model, hand off outputs/continuations."""
         jobs, outputs_list = rec
@@ -502,9 +535,11 @@ class Worker:
                 outputs_list = jax.block_until_ready(outputs_list)
         except Exception:
             for j in jobs:
+                tracer().end_subgraph(j)
+                if j.status != JobStatus.QUEUED or j.retired:
+                    continue  # already decided (e.g. quarantine failed it)
                 j.status = JobStatus.INVOKE_FAILURE
                 j.end_time = now_us()
-                tracer().end_subgraph(j)
                 self.engine.enqueue_finished_job(j)
             self._drop_inflight(jobs)
             return
@@ -637,12 +672,21 @@ class DeviceQueueWorker(Worker):
 
     def _dequeue_many(self) -> List[Job]:
         """Pop the head job plus up to max_batch-1 queued jobs with the
-        same subgraph key (continuous batching window)."""
+        same subgraph key (continuous batching window).  While the
+        key's bucket executables are still warming in the background,
+        the window is capped at the largest warm bucket so the dispatch
+        never stalls on a first-run XLA compile."""
         job = self._dequeue()
         if job is None:
             return []
         jobs = [job]
-        limit = max(self.spec.max_batch, 1)
+        limit = max(
+            min(
+                self.spec.max_batch,
+                self.engine.ready_batch_limit(job.subgraph_key),
+            ),
+            1,
+        )
         while (
             len(jobs) < limit
             and self._queue
@@ -719,12 +763,19 @@ class GlobalQueueWorker(Worker):
     def enqueue_job(self, job: Job) -> bool:
         if not job.subgraph_key.is_valid():
             return False
+        limit = max(
+            min(
+                self.spec.max_batch,
+                self.engine.ready_batch_limit(job.subgraph_key),
+            ),
+            1,
+        )
         with self._cv:
             if self._started:
                 return False
             if self._batch and (
                 job.subgraph_key != self._batch[0].subgraph_key
-                or len(self._batch) >= max(self.spec.max_batch, 1)
+                or len(self._batch) >= limit
             ):
                 return False
             self._batch.append(job)
@@ -765,21 +816,29 @@ class GlobalQueueWorker(Worker):
     def _max_depth(self) -> int:
         return 1  # single in-flight dispatch by definition
 
-    def _finish(self, rec, ready_hint: bool = False) -> None:
+    def _finish(
+        self, rec, ready_hint: bool = False, gen: Optional[int] = None
+    ) -> None:
         try:
-            super()._finish(rec, ready_hint=ready_hint)
+            super()._finish(rec, ready_hint=ready_hint, gen=gen)
         finally:
             with self._cv:
-                self._batch = []
-                self._started = False
+                # a stale thread clearing the slot would wipe a batch
+                # the fresh generation has accepted (ADVICE r4 high)
+                if gen is None or self._gen == gen:
+                    self._batch = []
+                    self._started = False
 
-    def _on_dispatch_consumed(self, jobs: List[Job]) -> None:
+    def _on_dispatch_consumed(
+        self, jobs: List[Job], gen: Optional[int] = None
+    ) -> None:
         # error path consumed the dispatch: free the slot (without this
         # the worker would report busy forever — the one-job slot is
         # normally cleared by _finish)
         with self._cv:
-            self._batch = []
-            self._started = False
+            if gen is None or self._gen == gen:
+                self._batch = []
+                self._started = False
 
     def _reset_dispatch_state(self) -> None:
         # a wedged thread can leave the one-dispatch slot claimed

@@ -77,7 +77,12 @@ class HEFTScheduler(Scheduler):
             # jobs onto the claimed worker — they ride the SAME batched
             # device program
             stacked = []
-            limit = self.engine.get_worker_batch_limit(best_key.worker_id)
+            limit = min(
+                self.engine.get_worker_batch_limit(best_key.worker_id),
+                # cap at the largest warm bucket while the key's bucket
+                # executables are still background-warming
+                self.engine.ready_batch_limit(best_key),
+            )
             if limit > 1:
                 sig0 = (best_job.model_id, best_job.resolved_unit_subgraphs)
                 for job in list(queue)[: self.window]:

@@ -18,7 +18,8 @@ from typing import Dict
 import numpy as np
 
 
-def evaluate(path: str, n_samples: int = 8, conv_mode: str = None) -> Dict:
+def evaluate(path: str, n_samples: int = 8, conv_mode: str = None,
+             exact: bool = True) -> Dict:
     import jax
 
     import tensorflow as tf
@@ -37,7 +38,7 @@ def evaluate(path: str, n_samples: int = 8, conv_mode: str = None) -> Dict:
     )
     it.allocate_tensors()
     g = parse_tflite_file(path)
-    prog = build_program(g, range(len(g.ops)), exact=True,
+    prog = build_program(g, range(len(g.ops)), exact=exact,
                          conv_mode=conv_mode)
     fn = jax.jit(prog.make_fn())
     params = {k: np.asarray(v) for k, v in prog.params.items()}
@@ -89,6 +90,7 @@ def evaluate(path: str, n_samples: int = 8, conv_mode: str = None) -> Dict:
         "model": path.rsplit("/", 1)[-1],
         "samples": n_samples,
         "conv_mode": conv_mode,
+        "numerics": "exact" if exact else "fast",
         "outputs": stats,
     }
     if top1_total:
@@ -146,7 +148,8 @@ def _image_set(n_images: int, width: int, height: int, dtype):
 
 
 def evaluate_topk_images(path: str, n_images: int = 100,
-                         conv_mode: str = None) -> Dict:
+                         conv_mode: str = None,
+                         exact: bool = True) -> Dict:
     """Measured classification-accuracy parity (VERDICT r1 next-round
     #6): top-1/top-5 agreement between band-tpu and the TFLite oracle
     on `n_images` natural images.  The reference's accuracy IS the
@@ -175,7 +178,7 @@ def evaluate_topk_images(path: str, n_images: int = 100,
     images = _image_set(n_images, int(width), int(height), d_in["dtype"])
 
     g = parse_tflite_file(path)
-    prog = build_program(g, range(len(g.ops)), exact=True,
+    prog = build_program(g, range(len(g.ops)), exact=exact,
                          conv_mode=conv_mode)
     fn = jax.jit(prog.make_fn())
     params = {k: np.asarray(v) for k, v in prog.params.items()}
@@ -204,6 +207,7 @@ def evaluate_topk_images(path: str, n_images: int = 100,
         "model": path.rsplit("/", 1)[-1],
         "images": len(images),
         "conv_mode": conv_mode,
+        "numerics": "exact" if exact else "fast",
         "top1_agreement": top1 / len(images),
         "top5_agreement": top5 / len(images),
         "max_quant_unit_diff": max_diff,
@@ -326,12 +330,19 @@ def evaluate_detection(path: str, n_samples: int = 20,
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    # --fast: evaluate the throughput-numerics programs
+    # (RuntimeConfig.numerics == "fast") instead of the bit-exact ones —
+    # the accuracy gate for enabling throughput mode in deployment
+    exact = True
+    if "--fast" in argv:
+        exact = False
+        argv = [a for a in argv if a != "--fast"]
     if not argv:
         print(
-            "usage: python -m band_tpu.tools.evaluate model.tflite "
-            "[n_samples]\n"
-            "       python -m band_tpu.tools.evaluate --top1 model.tflite"
-            " [n_images]\n"
+            "usage: python -m band_tpu.tools.evaluate [--fast] "
+            "model.tflite [n_samples]\n"
+            "       python -m band_tpu.tools.evaluate [--fast] --top1 "
+            "model.tflite [n_images]\n"
             "       python -m band_tpu.tools.evaluate --detection "
             "model.tflite [n_samples]",
             file=sys.stderr,
@@ -339,14 +350,16 @@ def main(argv=None) -> int:
         return 2
     if argv[0] == "--top1":
         n = int(argv[2]) if len(argv) > 2 else 100
-        print(json.dumps(evaluate_topk_images(argv[1], n), indent=1))
+        print(json.dumps(
+            evaluate_topk_images(argv[1], n, exact=exact), indent=1
+        ))
         return 0
     if argv[0] == "--detection":
         n = int(argv[2]) if len(argv) > 2 else 20
         print(json.dumps(evaluate_detection(argv[1], n), indent=1))
         return 0
     n = int(argv[1]) if len(argv) > 1 else 8
-    print(json.dumps(evaluate(argv[0], n), indent=1))
+    print(json.dumps(evaluate(argv[0], n, exact=exact), indent=1))
     return 0
 
 

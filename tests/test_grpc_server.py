@@ -221,9 +221,9 @@ def test_grpc_quarantined_worker_jobs_fail_explicitly(rng):
         blocker = threading.Event()
         orig = w0._dispatch
 
-        def wedged(jobs):
+        def wedged(jobs, *a, **kw):
             blocker.wait(30.0)
-            return orig(jobs)
+            return orig(jobs, *a, **kw)
 
         w0._dispatch = wedged
         reqs = (

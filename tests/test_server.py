@@ -161,9 +161,9 @@ def test_server_quarantined_worker_fails_explicitly(rng):
         w0 = es.engine.workers[0]
         orig = w0._dispatch
 
-        def wedged(jobs):
+        def wedged(jobs, *a, **kw):
             blocker.wait(30.0)
-            return orig(jobs)
+            return orig(jobs, *a, **kw)
 
         w0._dispatch = wedged
         # async submit, then wait: must return an explicit error status

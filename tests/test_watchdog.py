@@ -43,9 +43,9 @@ def test_wedged_worker_is_quarantined_and_traffic_reroutes():
         blocker = threading.Event()
         orig = w0._dispatch
 
-        def wedged(jobs):
+        def wedged(jobs, *a, **kw):
             blocker.wait(30.0)
-            return orig(jobs)
+            return orig(jobs, *a, **kw)
 
         w0._dispatch = wedged
         # a burst: some land on worker 0 and wedge there; the watchdog
@@ -113,11 +113,11 @@ def test_quarantined_worker_rejoins_after_transient_hang():
         orig = w0._dispatch
         wedged_once = threading.Event()
 
-        def wedged(jobs):
+        def wedged(jobs, *a, **kw):
             if not wedged_once.is_set():
                 wedged_once.set()
                 blocker.wait(30.0)
-            return orig(jobs)
+            return orig(jobs, *a, **kw)
 
         w0._dispatch = wedged
         old_thread = w0._thread
@@ -145,11 +145,88 @@ def test_quarantined_worker_rejoins_after_transient_hang():
         assert served_by_0, "rejoined worker never used"
 
         # the wedged thread revives on a stale generation: it must exit
-        # without double-finishing or dequeuing anything
+        # without double-finishing or dequeuing anything — and without
+        # leaking its completed dispatch into the fresh generation's
+        # in-flight counter (ADVICE r4 high: a +1 leak makes
+        # _processing permanently true and can block dispatch forever)
         blocker.set()
         time.sleep(0.5)
         out = eng.request_sync(mid, [x], timeout=20)
         np.testing.assert_allclose(out[0], x * 3.0)
+        assert w0.wait_until_idle(timeout=5), (
+            "worker never idle after stale thread revived "
+            f"(inflight_count={w0._inflight_count})"
+        )
+        assert w0._inflight_count == 0, w0._inflight_count
+        assert w0.busy_for() == 0.0  # no phantom busy stamp either
+        # the worker still serves after the revival
+        jids3 = [eng.request_async(mid, [x]) for _ in range(8)]
+        st3 = eng.wait_all(jids3, timeout=20)
+        assert all(s == bt.JobStatus.SUCCESS for s in st3.values()), st3
+    finally:
+        blocker.set()
+        eng.shutdown()
+
+
+def test_stale_retire_thread_does_not_corrupt_counter():
+    """Retire-side twin of the stale-generation leak (ADVICE r4 high):
+    a retirement thread wedged inside its completion ack is
+    quarantined; when it revives after the rejoin, its finally block
+    must not decrement the FRESH generation's in-flight counter (a -1
+    un-gates dispatch past the depth limit; a +1 blocks it forever)."""
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.SHORTEST_EXPECTED_LATENCY)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(0,),
+                                  stuck_timeout_ms=300,
+                                  availability_check_interval_ms=150))
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU, device_ids=(1,),
+                                  stuck_timeout_ms=300,
+                                  availability_check_interval_ms=150))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    blocker = threading.Event()
+    try:
+        mid = eng.register_model(bt.Model.from_path(ADD))
+        x = np.full((1, 8, 8, 3), 2.0, np.float32)
+        np.testing.assert_allclose(eng.request_sync(mid, [x])[0], x * 3.0)
+
+        w0 = eng.workers[0]
+        orig = w0._finish_window
+        wedged_once = threading.Event()
+
+        def wedged(recs, *a, **kw):
+            if not wedged_once.is_set():
+                wedged_once.set()
+                blocker.wait(30.0)
+            return orig(recs, *a, **kw)
+
+        w0._finish_window = wedged
+        jids = [eng.request_async(mid, [x]) for _ in range(12)]
+        st = eng.wait_all(jids, timeout=20)
+        assert len(st) == len(jids), "some jobs never finished"
+        assert wedged_once.is_set()
+
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not w0.is_available():
+            time.sleep(0.05)
+        assert w0.is_available() and not w0._quarantined
+
+        # revive the stale retire thread; the fresh generation's counter
+        # must stay balanced and the worker keeps serving
+        blocker.set()
+        time.sleep(0.5)
+        jids2 = [eng.request_async(mid, [x]) for _ in range(8)]
+        st2 = eng.wait_all(jids2, timeout=20)
+        assert all(s == bt.JobStatus.SUCCESS for s in st2.values()), st2
+        assert w0.wait_until_idle(timeout=5), (
+            f"inflight_count={w0._inflight_count}"
+        )
+        assert w0._inflight_count == 0, w0._inflight_count
+        assert w0.busy_for() == 0.0
     finally:
         blocker.set()
         eng.shutdown()
