@@ -415,9 +415,22 @@ class Engine(EngineBase):
     # model registration (reference: engine.cc:51-289)
     # ------------------------------------------------------------------
     def register_model(
-        self, model: Model, target_worker: int = -1
+        self, model: Model, target_worker: int = -1,
+        numerics: Optional[str] = None,
     ) -> int:
+        """Register a model (reference: engine.cc:51-289).
+
+        ``numerics`` overrides the engine-wide RuntimeConfig.numerics
+        for THIS model ("exact" | "fast") — a mix can serve
+        accuracy-tolerant models through the fast float32 epilogues
+        while keeping sensitive ones bit-exact (fast-mode drift is
+        model-dependent; gate with tools/evaluate --fast)."""
         from ..backend.factory import create_executor
+
+        if numerics is None:
+            numerics = self.config.numerics
+        if numerics not in ("exact", "fast"):
+            raise ConfigError("numerics must be 'exact' or 'fast'")
 
         with self._lock:
             model_id = self._model_counter
@@ -459,9 +472,9 @@ class Engine(EngineBase):
                     # numerics knob (config.py): "exact" reproduces the
                     # TFLite interpreter bit-for-bit; "fast" swaps the
                     # requant/rescale epilogues for f32 forms within
-                    # ±1 quant unit (throughput mode, accuracy-gated by
-                    # tools/evaluate --fast)
-                    exact=self.config.numerics != "fast",
+                    # ±1 quant unit per op (throughput mode,
+                    # accuracy-gated by tools/evaluate --fast)
+                    exact=numerics != "fast",
                     host=self._worker_is_host(wid),
                     mesh_shape=self.config.worker.workers[wid].mesh_shape,
                 )

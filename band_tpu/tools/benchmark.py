@@ -44,6 +44,10 @@ class ModelLoadConfig:
     # data plane, not just inference (VERDICT r1: preprocessing was
     # unmeasured in the serving path)
     image: str = ""
+    # per-model numerics override ("exact" | "fast" | "" = engine
+    # default): a mix can serve accuracy-tolerant models through the
+    # fast float32 epilogues while keeping sensitive ones bit-exact
+    numerics: str = ""
 
     @staticmethod
     def from_dict(d: dict) -> "ModelLoadConfig":
@@ -55,6 +59,7 @@ class ModelLoadConfig:
             slo_scale=float(d.get("slo_scale", -1.0)),
             worker_id=int(d.get("worker_id", -1)),
             image=str(d.get("image", "")),
+            numerics=str(d.get("numerics", "")),
         )
 
 
@@ -122,7 +127,8 @@ class Benchmark:
 
         for mc in config.models:
             mid = self.engine.register_model(
-                Model.from_path(mc.path), target_worker=mc.worker_id
+                Model.from_path(mc.path), target_worker=mc.worker_id,
+                numerics=mc.numerics or None,
             )
             self.model_ids.append(mid)
             self.options.append(

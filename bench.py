@@ -26,6 +26,15 @@ MODELS = [
     "retinaface_mbv2_quant_160",
     "ICN_quant",
 ]
+# the two small models completing the five-model north-star mix; their
+# on-chip times feed the five-model capacity roofline only
+FIVE_MODEL_EXTRA = {
+    "add": f"{DATA}/add.tflite",
+    "fc_int8": os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "fc_int8.tflite",
+    ),
+}
 # 4000-request differenced window (~3 s serving) x BENCH_RUNS repeats,
 # median-of-runs: the transport has documented 2-5x phase swings and the
 # round-3 ~1 s single window was phase-dependent (VERDICT r3 weak #6)
@@ -169,7 +178,10 @@ def _measure_onchip_ms(budget_s: float, device) -> dict:
             t2s.append(run(n2))
         return (min(t2s) - min(t1s)) / (n2 - n1) * 1000.0
 
-    for name, path in zip(MODELS, model_paths()):
+    targets = list(zip(MODELS, model_paths())) + list(
+        FIVE_MODEL_EXTRA.items()
+    )
+    for name, path in targets:
         bname = f"{name}@b{MAX_BATCH}"
         if name in out and (bname in out or MAX_BATCH <= 1):
             continue
@@ -205,7 +217,10 @@ def _measure_onchip_ms(budget_s: float, device) -> dict:
                 # degenerate or inflated difference; implausible results
                 # are NOT cached (the next run re-measures instead)
                 ms = _chain_ms(jax.jit(chained), params, x)
-                if 0.02 <= ms <= 50.0:
+                # tiny models (add/fc) legitimately measure a few µs;
+                # only degenerate (<=1 µs) or absurd differences are
+                # re-measured next run instead of being cached
+                if 0.001 <= ms <= 50.0:
                     out[name] = round(ms, 4)
             if MAX_BATCH > 1 and bname not in out:
                 # batched serving program: vmapped bucket, exactly the
@@ -235,8 +250,8 @@ def _measure_onchip_ms(budget_s: float, device) -> dict:
                 ms_iter = _chain_ms(jax.jit(chained_b), params, xb,
                                     iters=(4, 12))
                 ms_inf = ms_iter / MAX_BATCH
-                if 0.005 <= ms_inf <= 50.0:
-                    out[bname] = round(ms_inf, 4)
+                if 0.00002 <= ms_inf <= 50.0:
+                    out[bname] = round(ms_inf, 5)
         except Exception:
             continue
     cache[platform] = out
@@ -431,19 +446,13 @@ def bench_band_tpu(force_cpu: bool = False) -> dict:
     }
 
 
-def bench_five_model(duration_ms: int) -> dict:
-    """Five-model north-star mix (BASELINE.json milestone #4): a short
-    LSF SLO-mix run (configs/benchmark_slo_mix.json — mobilenet +
-    retinaface + ICN + add + fc, continuous batching, 2 TPU workers +
-    host worker) so the driver artifact certifies the north-star shape
-    without a doc lookup (VERDICT r3 next-round #4; the 60 s endurance
-    table lives in docs/performance.md)."""
+def _run_benchmark_config(cfg_name: str, duration_ms: int) -> tuple:
+    """Run one configs/*.json through the reference-schema load
+    generator; returns (summary dict, setup seconds)."""
     from band_tpu.tools.benchmark import Benchmark, BenchmarkConfig
 
     here = os.path.dirname(os.path.abspath(__file__))
-    cfg = BenchmarkConfig.from_json(
-        os.path.join(here, "configs", "benchmark_slo_mix.json")
-    )
+    cfg = BenchmarkConfig.from_json(os.path.join(here, "configs", cfg_name))
     cfg.running_time_ms = duration_ms
     t0 = time.perf_counter()
     b = Benchmark(cfg)
@@ -471,6 +480,50 @@ def bench_five_model(duration_ms: int) -> dict:
             "p50_ms": round(entry.get("p50_latency_ms", -1.0), 2),
             "p99_ms": round(entry.get("p99_latency_ms", -1.0), 2),
         }
+    return out, setup_s
+
+
+def bench_five_model(duration_ms: int, onchip: dict) -> dict:
+    """Five-model north-star mix (BASELINE.json milestone #4), two
+    blocks (VERDICT r4 next-round #4 and #6):
+
+    * ``slo_mix`` — the periodic LSF SLO run at reference-grade
+      stringency (slo_scale 2.0; the reference's own config uses 1.5,
+      band/test/data/benchmark_config.json:7 — round 4 certified at a
+      much weaker 8-10x).
+    * ``capacity`` — the reference's stream mode (back-to-back batches,
+      tool/benchmark.cc:459-493) with the reference's absolute 50 ms
+      SLO, long enough to amortize setup, reported against the
+      five-model BATCHED roofline so the throughput number means
+      something (round 4's periodic block was period-bound).
+    """
+    out = {}
+    try:
+        slo_mix, _ = _run_benchmark_config(
+            "benchmark_slo_mix.json", duration_ms
+        )
+        slo_mix["slo_scale"] = 2.0
+        out["slo_mix"] = slo_mix
+    except Exception as e:
+        out["slo_mix"] = {"error": str(e)[:200]}
+    try:
+        cap, _ = _run_benchmark_config(
+            "benchmark_slo_mix_stream.json", duration_ms
+        )
+        cap["slo_us"] = 50000
+        # five-model batched roofline: stream mode fires equal batches
+        # of every model per round, so the mix is equal-fifths
+        names = MODELS + list(FIVE_MODEL_EXTRA)
+        bkeys = [f"{n}@b{MAX_BATCH}" for n in names]
+        if all(k in onchip for k in bkeys):
+            roof = 1000.0 * len(names) / sum(onchip[k] for k in bkeys)
+            cap["roofline_req_s_batched"] = round(roof, 2)
+            cap["ratio_vs_batched_roofline"] = (
+                round(cap["req_s"] / roof, 3) if roof > 0 else -1.0
+            )
+        out["capacity"] = cap
+    except Exception as e:
+        out["capacity"] = {"error": str(e)[:200]}
     return out
 
 
@@ -549,7 +602,9 @@ def main():
         if FIVE_MODEL_MS > 0 and r.get("platform") == "tpu":
             _dbg("five-model block")
             try:
-                r["five_model"] = bench_five_model(FIVE_MODEL_MS)
+                r["five_model"] = bench_five_model(
+                    FIVE_MODEL_MS, r.get("onchip_ms_per_model", {})
+                )
             except Exception as e:
                 r["five_model"] = {"error": str(e)[:200]}
         _dbg("inner done")

