@@ -638,8 +638,14 @@ def main():
             result = r
             if five and not result.get("five_model"):
                 result["five_model"] = five
-        if r.get("ratio_vs_roofline", -1) >= 1.0:
-            break  # cleared the batch-1 roofline: healthy measurement
+        if r.get("ratio_vs_batched_roofline", -1) >= 0.8 or (
+            r.get("roofline_req_s_batched", -1) <= 0
+            and r.get("ratio_vs_roofline", -1) >= 1.0
+        ):
+            # cleared the honest (batched) bar — stop retrying; the
+            # batch-1 fallback applies only when no batched roofline
+            # could be measured
+            break
     if result is None:
         # device service stalled: measure the engine on CPU instead and
         # label it so the number is never mistaken for a chip result
