@@ -122,6 +122,14 @@ class SubgraphKey:
         return f"(m{self.model_id} w{self.worker_id} [{units}])"
 
 
+def subgraph_sort_key(key: SubgraphKey) -> tuple:
+    """Deterministic total order over SubgraphKeys.  Co-dispatch
+    signatures (engine/worker window fusion) canonicalize their group
+    order with this so every rotation of the same model mix maps to ONE
+    combined executable instead of one per arrival order."""
+    return (key.model_id, key.worker_id, tuple(sorted(key.unit_indices)))
+
+
 @dataclass(frozen=True)
 class RequestOption:
     """Per-request knobs (reference: band/common.h:283-290)."""

@@ -123,6 +123,15 @@ class WorkerSpec:
     # continuous batching: up to this many queued same-subgraph requests
     # are merged into one batched (vmapped) dispatch
     max_batch: int = 1
+    # multi-model window fusion: a DeviceQueue worker may fuse up to
+    # this many consecutive distinct-subgraph windows from its queue
+    # into ONE device dispatch (a combined XLA program), amortizing the
+    # per-dispatch submission cost over several models' windows.  Only
+    # pre-built (background-warmed) combinations fuse — a cold mix
+    # dispatches window-by-window, so fusion never stalls serving on an
+    # XLA compile.  1 = off (the reference semantics: one subgraph per
+    # invoke, backend/tfl/model_executor.cc:249-255).
+    co_dispatch: int = 1
     # dispatch-thread core pinning (reference: per-worker `cpu_masks`,
     # band/config.h:42 — the reference pins even GPU/DSP/NPU workers'
     # host threads this way); flag name or explicit core list; empty =
@@ -171,6 +180,8 @@ class WorkerSpec:
                 raise ConfigError("mesh_shape must cover all device_ids")
         if self.dispatch_depth < 1:
             raise ConfigError("dispatch_depth must be >= 1")
+        if self.co_dispatch < 1:
+            raise ConfigError("co_dispatch must be >= 1")
 
     @property
     def is_mesh(self) -> bool:
@@ -438,6 +449,7 @@ def _parse_worker(entry: Any, default_device_id: int = 0) -> WorkerSpec:
         mesh_axes=tuple(entry.get("mesh_axes", [])),
         dispatch_depth=entry.get("dispatch_depth", 2),
         max_batch=int(entry.get("max_batch", 1)),
+        co_dispatch=int(entry.get("co_dispatch", 1)),
         cpu_mask=str(entry.get("cpu_masks", entry.get("cpu_mask", ""))),
         num_threads=int(entry.get("num_threads", 1)),
         stuck_timeout_ms=int(entry.get("stuck_timeout_ms", 0)),

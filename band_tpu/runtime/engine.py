@@ -248,6 +248,17 @@ class Engine(EngineBase):
         # background warms can't contaminate isolated b1 profiles
         self._profiling_lock = threading.Lock()
 
+        # multi-model window fusion (co-dispatch): combined executables
+        # keyed by a canonical ((SubgraphKey, bucket), ...) signature.
+        # Workers with spec.co_dispatch > 1 fuse consecutive
+        # distinct-subgraph windows into one device program once the
+        # combination has been built in the background — never on the
+        # dispatch path, so serving can't stall on a combo compile.
+        self._combo_fns: Dict[tuple, object] = {}
+        self._combo_state: Dict[tuple, str] = {}  # pending|ready|failed
+        self._combo_limit = 16  # bound compile memory / cache blowup
+        self._co_dispatch_count = 0
+
         # failure-detection watchdog: quarantine workers wedged inside
         # one dispatch (e.g. a hung device transfer, docs/dev-notes.md
         # item 10) so requesters unblock and traffic reroutes
@@ -529,6 +540,7 @@ class Engine(EngineBase):
             with self._lock:
                 self._models.pop(model_id, None)
             self.latency_estimator.unbind_model(model_id)
+            self._drop_combos_for(model_id)
             return True
 
         try:
@@ -543,6 +555,7 @@ class Engine(EngineBase):
             with self._lock:
                 self._models.pop(model_id, None)
             self.latency_estimator.unbind_model(model_id)
+            self._drop_combos_for(model_id)
         finally:
             self._unregistering.discard(model_id)
 
@@ -693,7 +706,10 @@ class Engine(EngineBase):
                 # serialize against paused-worker profiling windows so
                 # a warm execution can't contaminate an isolated profile
                 with self._profiling_lock:
-                    self._warm_one_bucket(key, bucket)
+                    if isinstance(key, tuple) and key and key[0] == "combo":
+                        self._warm_one_combo(key[1])
+                    else:
+                        self._warm_one_bucket(key, bucket)
             except Exception:
                 log_error(
                     "bucket warm failed for %s b%d:\n%s",
@@ -741,6 +757,202 @@ class Engine(EngineBase):
             self.latency_estimator.profile(key, invoke, batch=bucket)
         else:
             invoke()
+
+    # ------------------------------------------------------------------
+    # multi-model window fusion (co-dispatch)
+    # ------------------------------------------------------------------
+    def _combo_entry_eligible(self, key: SubgraphKey) -> bool:
+        """A (key, bucket) may join a combined executable only on the
+        plain single-device jit path (mesh/SPMD launches must stay
+        individually announced, docs/dev-notes.md item 11; eager
+        subgraphs have no executable to fuse)."""
+        rec = self._models.get(key.model_id)
+        if rec is None or key.model_id in self._unregistering:
+            return False
+        ex = rec.executors.get(key.worker_id)
+        if ex is None:
+            return False
+        return (
+            len(ex.devices) == 1
+            and not ex._eager.get(key, False)
+            and ex._spmd is None
+        )
+
+    def co_dispatch_ready(self, sig: tuple) -> bool:
+        st = self._combo_state.get(sig)
+        if st == "ready":
+            return True
+        if st is None:
+            self._schedule_combo_warm(sig)
+        return False
+
+    def _schedule_combo_warm(self, sig: tuple) -> None:
+        import heapq
+
+        if len(self._combo_state) >= self._combo_limit:
+            return
+        if not all(self._combo_entry_eligible(k) for k, _ in sig):
+            return
+        sentinel = ("combo", sig)
+        with self._warmer_cv:
+            if sig in self._combo_state:
+                return
+            self._combo_state[sig] = "pending"
+            self._warming_keys[sentinel] = 1
+            self._warmer_seq += 1
+            # sort AFTER every individual bucket warm: a combo compile
+            # is ~the sum of its members' compiles and must not delay
+            # the window-growth ramp
+            heapq.heappush(
+                self._warmer_tasks, (1 << 20, self._warmer_seq, sentinel)
+            )
+            if self._warmer_thread is None:
+                self._warmer_thread = threading.Thread(
+                    target=self._bucket_warmer,
+                    name="band-bucket-warmer",
+                    daemon=True,
+                )
+                self._warmer_thread.start()
+            self._warmer_cv.notify_all()
+
+    def _warm_one_combo(self, sig: tuple) -> None:
+        """Build + first-run the combined executable for `sig` (runs on
+        the background warmer thread, under _profiling_lock).  Never
+        raises: a failed build marks the signature failed and workers
+        keep dispatching window-by-window."""
+        import traceback
+
+        from ..tracing.logger import log_error
+
+        try:
+            fns, params_list, zeros_list = [], [], []
+            for key, bucket in sig:
+                if not self._combo_entry_eligible(key):
+                    self._combo_state[sig] = "failed"
+                    return
+                ex = self._models[key.model_id].executors[key.worker_id]
+                prog = ex.program(key)
+                device = self._worker_devices[key.worker_id][0]
+                fns.append(ex._batched_fn(key, bucket))
+                params_list.append(ex._params[key])
+                ins = tuple(
+                    jax.device_put(
+                        np.zeros([max(s, 1) for s in shape], dtype), device
+                    )
+                    for shape, dtype in prog.input_specs
+                )
+                zeros_list.append(tuple(ins for _ in range(bucket)))
+
+            def combo(params_tuple, inputs_tuple):
+                # member fns are the executors' own jitted batched fns;
+                # tracing through them inlines every window into ONE
+                # XLA program (independent subgraphs — XLA may overlap)
+                return tuple(
+                    fn(p, ib)
+                    for fn, p, ib in zip(fns, params_tuple, inputs_tuple)
+                )
+
+            cfn = jax.jit(combo)
+            jax.block_until_ready(
+                cfn(tuple(params_list), tuple(zeros_list))
+            )
+            self._combo_fns[sig] = cfn
+            self._combo_state[sig] = "ready"
+        except Exception:
+            self._combo_state[sig] = "failed"
+            log_error(
+                "co-dispatch combo build failed for %s:\n%s",
+                sig, traceback.format_exc(),
+            )
+
+    def invoke_multi(
+        self, sig: tuple, inputs_groups: List[List[List[np.ndarray]]]
+    ) -> List[List[List]]:
+        """One device dispatch serving several distinct-subgraph
+        windows (sig-aligned).  Only called by workers after
+        co_dispatch_ready(sig) — the combined executable is warm."""
+        self._maybe_fault(sig[0][0].worker_id)
+        fn = self._combo_fns.get(sig)
+        if fn is None:
+            raise ExecutionError(f"co-dispatch combo not ready: {sig}")
+        params_list, args_list = [], []
+        for (key, bucket), ins_batch in zip(sig, inputs_groups):
+            ex = self._rec(key.model_id).executors[key.worker_id]
+            device = self._worker_devices[key.worker_id][0]
+            padded = list(ins_batch) + [ins_batch[0]] * (
+                bucket - len(ins_batch)
+            )
+            args_list.append(
+                tuple(
+                    tuple(
+                        v
+                        if isinstance(v, jax.Array)
+                        else jax.device_put(np.asarray(v), device)
+                        for v in ins
+                    )
+                    for ins in padded
+                )
+            )
+            params_list.append(ex._params[key])
+        outs = fn(tuple(params_list), tuple(args_list))
+        self._co_dispatch_count += 1
+        result = []
+        for (key, bucket), ins_batch, group_outs in zip(
+            sig, inputs_groups, outs
+        ):
+            ex = self._rec(key.model_id).executors[key.worker_id]
+            ex._mark_warm(key, bucket)
+            result.append(
+                [list(group_outs[b]) for b in range(len(ins_batch))]
+            )
+        return result
+
+    @property
+    def co_dispatch_count(self) -> int:
+        """Fused (multi-window) device dispatches served so far."""
+        return self._co_dispatch_count
+
+    def _drop_combos_for(self, model_id: int) -> None:
+        for sig in [
+            s
+            for s in list(self._combo_state)
+            if any(k.model_id == model_id for k, _ in s)
+        ]:
+            self._combo_state.pop(sig, None)
+            self._combo_fns.pop(sig, None)
+
+    def warm_co_dispatch(
+        self,
+        model_ids: Sequence[int],
+        batch: int,
+        timeout: float = 600.0,
+    ) -> bool:
+        """Pre-build the fused window executable for a model mix (each
+        model's largest subgraph on its assigned worker at bucket
+        `batch`), so a benchmark's steady-state cycle fuses from the
+        first measured window.  Returns True when the combo is ready."""
+        from ..common import subgraph_sort_key
+
+        entries = []
+        for mid in model_ids:
+            wid = self.get_model_worker(mid)
+            key = self.get_largest_subgraph_key(mid, wid)
+            if not key.is_valid():
+                return False
+            bucket = 1 if batch <= 1 else 1 << (batch - 1).bit_length()
+            entries.append((key, bucket))
+        entries.sort(key=lambda kb: subgraph_sort_key(kb[0]))
+        sig = tuple(entries)
+        if self.co_dispatch_ready(sig):
+            return True
+        deadline = time.monotonic() + timeout
+        with self._warmer_cv:
+            while (
+                self._combo_state.get(sig) == "pending"
+                and time.monotonic() < deadline
+            ):
+                self._warmer_cv.wait(timeout=0.2)
+        return self._combo_state.get(sig) == "ready"
 
     def ready_batch_limit(self, key: SubgraphKey) -> int:
         """Largest continuous-batching window the dispatch path can run

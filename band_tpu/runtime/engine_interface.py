@@ -131,6 +131,22 @@ class EngineBase(abc.ABC):
         """Continuous-batching dispatch; default falls back to serial."""
         return [self.invoke(key, ins) for ins in inputs_list]
 
+    def co_dispatch_ready(self, sig: tuple) -> bool:
+        """True when a combined executable for the canonical
+        ((SubgraphKey, bucket), ...) signature is warm (its first call
+        will NOT pay an XLA compile).  A False return may schedule a
+        background build so a recurring mix becomes fusable later.
+        Default: fusion unavailable."""
+        return False
+
+    def invoke_multi(
+        self, sig: tuple, inputs_groups: List[List[List[np.ndarray]]]
+    ) -> List[List[List]]:
+        """Run several distinct-subgraph windows as ONE device dispatch
+        (window fusion); `inputs_groups` aligns with `sig`.  Returns
+        per-group, per-request output lists."""
+        raise NotImplementedError
+
     def probe_subgraph(self, key: SubgraphKey) -> bool:
         """Device-recovery probe: does an invoke of `key` succeed now?
         (reference: Worker::WaitUntilDeviceAvailable, worker.cc:101-110)"""

@@ -26,7 +26,7 @@ from typing import Deque, Dict, List, Optional
 
 import jax
 
-from ..common import Job, JobStatus, now_us
+from ..common import Job, JobStatus, now_us, subgraph_sort_key
 from ..config import WorkerSpec
 from ..tracing.logger import log_error
 from ..errors import ExecutionError
@@ -277,6 +277,14 @@ class Worker:
         job = self._dequeue()
         return [job] if job is not None else []
 
+    def _dequeue_groups(self) -> List[List[Job]]:
+        """One or more dispatch windows popped together (called under
+        _cv).  The base worker never fuses; DeviceQueueWorker may
+        return several distinct-subgraph windows when spec.co_dispatch
+        allows and the combined executable is warm."""
+        jobs = self._dequeue_many()
+        return [jobs] if jobs else []
+
     def _requeue_all(self) -> List[Job]:
         raise NotImplementedError
 
@@ -319,7 +327,8 @@ class Worker:
                 if self._kill:
                     q.put(None)
                     return
-                jobs = self._dequeue_many()
+                groups = self._dequeue_groups()
+                jobs = [j for g in groups for j in g]
                 # visible to has_jobs_for/waiting-time from the moment
                 # they leave the queue (no blind window during the
                 # input-copy + launch phase)
@@ -330,12 +339,19 @@ class Worker:
                 continue
             try:
                 self._busy_since = (gen, time.monotonic())
-                rec = self._dispatch(jobs, gen)
-                if rec is not None:
+                if len(groups) == 1:
+                    rec = self._dispatch(jobs, gen)
+                    recs = [rec] if rec is not None else []
+                else:
+                    # fused multi-window dispatch: one device program,
+                    # one in-flight record per window (retired in order)
+                    recs = self._dispatch_multi(groups, gen)
+                if recs:
                     with self._cv:
                         if self._gen == gen:
-                            self._inflight_count += 1
-                            q.put(rec)
+                            self._inflight_count += len(recs)
+                            for rec in recs:
+                                q.put(rec)
                         # else: a rejoin retired this generation while
                         # the dispatch was in flight — its jobs were
                         # already failed at quarantine; leaking the +1
@@ -383,8 +399,8 @@ class Worker:
                     try:
                         self._finish_window(recs, gen)
                     except Exception:
-                        for jobs_i, _ in recs:
-                            self._fail_jobs(jobs_i)
+                        for r in recs:
+                            self._fail_jobs(r[0])
                 return
             recs = [rec]
             stop = False
@@ -406,8 +422,8 @@ class Worker:
                     self.worker_id, traceback.format_exc(),
                 )
                 if self._gen == gen:
-                    for jobs_i, _ in recs:
-                        self._fail_jobs(jobs_i)
+                    for r in recs:
+                        self._fail_jobs(r[0])
             finally:
                 st = self._retire_busy_since
                 if st is not None and st[0] == gen:
@@ -491,6 +507,68 @@ class Worker:
             self._on_dispatch_consumed(jobs, gen)
             return None
 
+    def _dispatch_multi(
+        self, groups: List[List[Job]], gen: Optional[int] = None
+    ) -> List[tuple]:
+        """Fused dispatch: several distinct-subgraph windows as ONE
+        device program (engine.invoke_multi), one in-flight record per
+        window.  Each record carries the window's share of the combined
+        program's expected cost so the retirement-side EMA update
+        attributes the measured latency per subgraph instead of
+        charging every key the full combined time."""
+        jobs = [j for g in groups for j in g]
+        sig = tuple(
+            (
+                g[0].subgraph_key,
+                1 if len(g) <= 1 else 1 << (len(g) - 1).bit_length(),
+            )
+            for g in groups
+        )
+        try:
+            inputs_groups = [
+                [self.engine.try_copy_input_tensors(j) for j in g]
+                for g in groups
+            ]
+            start = now_us()
+            for j in jobs:
+                j.invoke_time = start
+                tracer().begin_subgraph(j)
+            outs_groups = self.engine.invoke_multi(sig, inputs_groups)
+            exp = [
+                max(self.engine.get_expected_latency(k, b), 1)
+                for k, b in sig
+            ]
+            tot = float(sum(exp)) or 1.0
+            return [
+                (g, outs, e / tot)
+                for g, outs, e in zip(groups, outs_groups, exp)
+            ]
+        except ExecutionError:
+            for j in jobs:
+                tracer().end_subgraph(j)
+            if gen is not None and self._gen != gen:
+                return []  # stale thread: jobs already failed at quarantine
+            self._drop_inflight(jobs)
+            self._handle_device_error(jobs[0])
+            for j in jobs[1:]:
+                j.subgraph_key = type(j.subgraph_key)()
+                j.status = JobStatus.QUEUED
+                j.invoke_time = 0
+                self.engine.enqueue_batch([j], push_front=True)
+            self._on_dispatch_consumed(jobs, gen)
+            return []
+        except Exception:
+            if gen is not None and self._gen != gen:
+                return []
+            self._drop_inflight(jobs)
+            for j in jobs:
+                j.status = JobStatus.INVOKE_FAILURE
+                j.end_time = now_us()
+                tracer().end_subgraph(j)
+                self.engine.enqueue_finished_job(j)
+            self._on_dispatch_consumed(jobs, gen)
+            return []
+
     def _on_dispatch_consumed(
         self, jobs: List[Job], gen: Optional[int] = None
     ) -> None:
@@ -527,8 +605,12 @@ class Worker:
         self, rec, ready_hint: bool = False, gen: Optional[int] = None
     ) -> None:
         """Retire one in-flight work unit: observe completion, update
-        the cost model, hand off outputs/continuations."""
-        jobs, outputs_list = rec
+        the cost model, hand off outputs/continuations.  Records from a
+        fused dispatch carry a third element — the window's share of
+        the combined program's expected cost — used to attribute the
+        measured latency per subgraph."""
+        jobs, outputs_list = rec[0], rec[1]
+        share = rec[2] if len(rec) > 2 else 1.0
         key = jobs[0].subgraph_key
         try:
             if not ready_hint:
@@ -545,7 +627,9 @@ class Worker:
             return
         end = now_us()
         latency = end - jobs[0].invoke_time
-        self.engine.update_latency(key, latency, batch=len(jobs))
+        self.engine.update_latency(
+            key, max(int(latency * share), 1), batch=len(jobs)
+        )
         for j, outs in zip(jobs, outputs_list):
             j.end_time = end
             j.profiled_execution_time = latency
@@ -694,6 +778,63 @@ class DeviceQueueWorker(Worker):
         ):
             jobs.append(self._queue.popleft())
         return jobs
+
+    def _dequeue_groups(self) -> List[List[Job]]:
+        """Head window plus, when spec.co_dispatch > 1, the following
+        consecutive distinct-subgraph windows — fused into one device
+        dispatch IF the combined executable is already warm (a miss
+        schedules a background build and dispatches the head window
+        alone, so fusion never stalls serving on an XLA compile).
+        Called under _cv, so peeking the deque is race-free."""
+        first = self._dequeue_many()
+        if not first:
+            return []
+        limit = self.spec.co_dispatch
+        if limit <= 1 or not self._queue:
+            return [first]
+        # peek the next consecutive same-key runs without popping
+        def _bucket(n: int) -> int:
+            return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+        taken = {first[0].subgraph_key}
+        runs = []  # (key, length) in queue order from the head
+        idx = 0
+        while len(runs) + 1 < limit and idx < len(self._queue):
+            key = self._queue[idx].subgraph_key
+            if key in taken or not key.is_valid():
+                break
+            cap = max(
+                min(
+                    self.spec.max_batch,
+                    self.engine.ready_batch_limit(key),
+                ),
+                1,
+            )
+            n = 0
+            while (
+                idx + n < len(self._queue)
+                and n < cap
+                and self._queue[idx + n].subgraph_key == key
+            ):
+                n += 1
+            runs.append((key, n))
+            taken.add(key)
+            idx += n
+        if not runs:
+            return [first]
+        cand = [(first[0].subgraph_key, _bucket(len(first)))] + [
+            (key, _bucket(n)) for key, n in runs
+        ]
+        cand.sort(key=lambda kb: subgraph_sort_key(kb[0]))
+        if not self.engine.co_dispatch_ready(tuple(cand)):
+            return [first]
+        groups = [first]
+        for _key, n in runs:
+            groups.append([self._queue.popleft() for _ in range(n)])
+        # canonical signature order (every rotation of the same mix
+        # maps to one combined executable)
+        groups.sort(key=lambda g: subgraph_sort_key(g[0].subgraph_key))
+        return groups
 
     def _requeue_all(self) -> List[Job]:
         with self._cv:
