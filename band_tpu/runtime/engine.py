@@ -257,6 +257,15 @@ class Engine(EngineBase):
         self._combo_fns: Dict[tuple, object] = {}
         self._combo_state: Dict[tuple, str] = {}  # pending|ready|failed
         self._combo_limit = 16  # bound compile memory / cache blowup
+        self._combo_misses: Dict[tuple, int] = {}
+        # a signature must MISS this many times before a background
+        # build is scheduled: stream-tail partial windows mint one-off
+        # signatures, and a mid-serving combo build costs a transport
+        # executable load that can stall the device service for tens of
+        # seconds (the round-5 A/B measured a 10x serving collapse from
+        # exactly this).  Only recurring mixes are worth building;
+        # benchmarks pre-build theirs with warm_co_dispatch.
+        self.co_warm_miss_threshold = 32
         self._co_dispatch_count = 0
 
         # failure-detection watchdog: quarantine workers wedged inside
@@ -783,7 +792,10 @@ class Engine(EngineBase):
         if st == "ready":
             return True
         if st is None:
-            self._schedule_combo_warm(sig)
+            n = self._combo_misses.get(sig, 0) + 1
+            self._combo_misses[sig] = n
+            if n >= max(self.co_warm_miss_threshold, 1):
+                self._schedule_combo_warm(sig)
         return False
 
     def _schedule_combo_warm(self, sig: tuple) -> None:
@@ -798,6 +810,7 @@ class Engine(EngineBase):
             if sig in self._combo_state:
                 return
             self._combo_state[sig] = "pending"
+            self._combo_misses.pop(sig, None)
             self._warming_keys[sentinel] = 1
             self._warmer_seq += 1
             # sort AFTER every individual bucket warm: a combo compile
@@ -915,11 +928,12 @@ class Engine(EngineBase):
     def _drop_combos_for(self, model_id: int) -> None:
         for sig in [
             s
-            for s in list(self._combo_state)
+            for s in list(self._combo_state) + list(self._combo_misses)
             if any(k.model_id == model_id for k, _ in s)
         ]:
             self._combo_state.pop(sig, None)
             self._combo_fns.pop(sig, None)
+            self._combo_misses.pop(sig, None)
 
     def warm_co_dispatch(
         self,
@@ -943,8 +957,10 @@ class Engine(EngineBase):
             entries.append((key, bucket))
         entries.sort(key=lambda kb: subgraph_sort_key(kb[0]))
         sig = tuple(entries)
-        if self.co_dispatch_ready(sig):
+        if self._combo_state.get(sig) == "ready":
             return True
+        # explicit pre-build: bypass the miss-threshold damping
+        self._schedule_combo_warm(sig)
         deadline = time.monotonic() + timeout
         with self._warmer_cv:
             while (

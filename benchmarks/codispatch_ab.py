@@ -104,6 +104,11 @@ def measure(co_dispatch: int, device) -> tuple:
         dt = t2 - t1
         if dt < 0.05 * t2:
             dt = t2 / 2.0
+        print(
+            f"  combos built: {len(eng._combo_state)}, "
+            f"distinct sigs missed: {len(eng._combo_misses)}",
+            file=sys.stderr, flush=True,
+        )
         return N / dt, eng.co_dispatch_count
     finally:
         eng.shutdown()

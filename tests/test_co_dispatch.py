@@ -107,9 +107,12 @@ def test_fused_windows_serve_and_match_solo(engine_pair):
 
 def test_cold_mix_falls_back_to_single_windows(engine_pair):
     """Before any combo is warm, a mixed queue must still serve —
-    window-by-window — and the miss schedules a background build that
-    eventually makes the mix fusable."""
+    window-by-window — and repeated misses schedule a background build
+    that eventually makes the mix fusable (one-off signatures stay
+    unbuilt: a mid-serving combo build costs a transport executable
+    load, see Engine.co_warm_miss_threshold)."""
     eng, (m1, x1), (m2, x2) = engine_pair
+    eng.co_warm_miss_threshold = 1
     ids = _burst(eng, [(m1, x1), (m2, x2)], rounds=2)
     st = eng.wait_all(ids, timeout=120)
     assert all(v == bt.JobStatus.SUCCESS for v in st.values()), st
@@ -124,6 +127,20 @@ def test_cold_mix_falls_back_to_single_windows(engine_pair):
     st = eng.wait_all(ids, timeout=120)
     assert all(v == bt.JobStatus.SUCCESS for v in st.values()), st
     assert eng.co_dispatch_count > before
+
+
+def test_one_off_mixes_are_not_built(engine_pair):
+    """Under the default miss threshold, a mix seen only a few times
+    must NOT schedule a background combo build (a mid-serving build
+    costs a transport executable load that can stall the device
+    service — measured 10x serving collapse, docs/performance.md)."""
+    eng, (m1, x1), (m2, x2) = engine_pair
+    assert eng.co_warm_miss_threshold > 4
+    ids = _burst(eng, [(m1, x1), (m2, x2)], rounds=2)
+    st = eng.wait_all(ids, timeout=120)
+    assert all(v == bt.JobStatus.SUCCESS for v in st.values())
+    assert not eng._combo_state  # misses counted, nothing built
+    assert eng.co_dispatch_count == 0
 
 
 def test_latency_attribution_is_per_share(engine_pair):
