@@ -33,6 +33,9 @@ N = int(os.environ.get("AB_REQUESTS", "3000"))
 DEPTHS = [int(x) for x in os.environ.get("AB_DEPTHS", "4,8,16").split(",")]
 CYCLES = int(os.environ.get("AB_CYCLES", "3"))
 MAXB = int(os.environ.get("AB_MAX_BATCH", "32"))
+# round-5: optionally sweep depth UNDER window fusion (each fused
+# dispatch consumes co_dispatch records of the depth budget)
+CODISPATCH = int(os.environ.get("AB_CODISPATCH", "1"))
 
 
 def measure_depth(depth: int, device) -> float:
@@ -42,6 +45,7 @@ def measure_depth(depth: int, device) -> float:
         .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.TPU,
                                   device_ids=(0,), max_batch=MAXB,
                                   dispatch_depth=depth,
+                                  co_dispatch=CODISPATCH,
                                   stuck_timeout_ms=120_000))
         .profile_warmups(1)
         .profile_runs(1)
@@ -66,6 +70,8 @@ def measure_depth(depth: int, device) -> float:
                 ins.append(StagedInput(arr).stage(device))
             feeds.append(ins)
         eng.wait_buckets_ready(timeout=900)
+        if CODISPATCH > 1:
+            eng.warm_co_dispatch(mids, batch=MAXB, timeout=900)
         warm = [eng.request_async(mids[i % 3], feeds[i % 3])
                 for i in range(9)]
         eng.wait_all(warm, timeout=300)
