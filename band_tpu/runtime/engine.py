@@ -938,22 +938,32 @@ class Engine(EngineBase):
     def warm_co_dispatch(
         self,
         model_ids: Sequence[int],
-        batch: int,
+        batch,
         timeout: float = 600.0,
     ) -> bool:
         """Pre-build the fused window executable for a model mix (each
         model's largest subgraph on its assigned worker at bucket
-        `batch`), so a benchmark's steady-state cycle fuses from the
-        first measured window.  Returns True when the combo is ready."""
+        `batch` — an int for a uniform mix, or one int per model so
+        load generators with per-model batch sizes warm the exact
+        signature their rounds will dispatch), so a benchmark's
+        steady-state cycle fuses from the first measured window.
+        Returns True when the combo is ready."""
         from ..common import subgraph_sort_key
 
+        batches = (
+            [int(b) for b in batch]
+            if isinstance(batch, (list, tuple))
+            else [int(batch)] * len(model_ids)
+        )
+        if len(batches) != len(model_ids):
+            raise ValueError("warm_co_dispatch: one batch per model")
         entries = []
-        for mid in model_ids:
+        for mid, bsz in zip(model_ids, batches):
             wid = self.get_model_worker(mid)
             key = self.get_largest_subgraph_key(mid, wid)
             if not key.is_valid():
                 return False
-            bucket = 1 if batch <= 1 else 1 << (batch - 1).bit_length()
+            bucket = 1 if bsz <= 1 else 1 << (bsz - 1).bit_length()
             entries.append((key, bucket))
         entries.sort(key=lambda kb: subgraph_sort_key(kb[0]))
         sig = tuple(entries)

@@ -180,6 +180,34 @@ class Benchmark:
                 pre = (src, proc)
             self.preprocs.append(pre)
 
+        # pre-build fused-window executables for workers configured
+        # with co_dispatch > 1: recurring mixes then fuse from the
+        # first measured round, and no combo build (whose transport
+        # executable LOAD can stall device service for tens of seconds
+        # on tunneled links — docs/performance.md round 5) lands inside
+        # the measured window.
+        specs = config.runtime.worker.workers
+        if any(getattr(s, "co_dispatch", 1) > 1 for s in specs):
+            self.engine.wait_buckets_ready(timeout=900)
+            by_worker: Dict[int, List[tuple]] = {}
+            for idx, mid in enumerate(self.model_ids):
+                wid = self.engine.get_model_worker(mid)
+                by_worker.setdefault(wid, []).append(
+                    (mid, max(config.models[idx].batch_size, 1))
+                )
+            for wid, entries in by_worker.items():
+                if not (0 <= wid < len(specs)):
+                    continue
+                spec = specs[wid]
+                if spec.co_dispatch <= 1 or len(entries) < 2:
+                    continue
+                entries = entries[: spec.co_dispatch]
+                self.engine.warm_co_dispatch(
+                    [m for m, _ in entries],
+                    batch=[b for _, b in entries],
+                    timeout=600,
+                )
+
     def _request_inputs(self, idx: int):
         """Per-request inputs: the static staged tensors, or (image-fed
         mode) a fresh run of the preprocessing pipeline."""
@@ -353,7 +381,13 @@ class Benchmark:
                 n_batched += sum(
                     len(b) for b in getattr(ex, "_batched", {}).values()
                 )
-        out["runtime_health"] = {"batched_executables": n_batched}
+        out["runtime_health"] = {
+            "batched_executables": n_batched,
+            # fused multi-model dispatches served (co_dispatch > 1
+            # workers); 0 on a fused config means rounds raced past
+            # the pre-warmed signature — diagnose before trusting req/s
+            "co_dispatched_windows": self.engine.co_dispatch_count,
+        }
         try:
             with open("/proc/self/status") as f:
                 for line in f:

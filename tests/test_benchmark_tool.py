@@ -126,3 +126,55 @@ def test_workload_mode_requires_trace(tmp_path):
     d["execution_mode"] = "workload"
     with pytest.raises(bt.ConfigError):
         BenchmarkConfig.from_dict(d)
+
+
+def test_stream_co_dispatch_fuses_rounds(tmp_path):
+    """The fused capacity-stream shape (configs/benchmark_slo_mix_
+    stream.json): models pinned to one DeviceQueue worker with
+    co_dispatch > 1 pre-warm their combined executable at setup and
+    every steady-state round serves as fused dispatches."""
+    if not has_model("add"):
+        pytest.skip("reference model not available")
+    d = {
+        "models": [
+            {
+                "graph": model_path("add"),
+                "batch_size": 4,
+                "worker_id": 0,
+                "slo_us": -1,
+            },
+            {
+                "graph": "tests/data/fc_int8.tflite",
+                "batch_size": 4,
+                "worker_id": 0,
+                "slo_us": -1,
+            },
+        ],
+        "schedulers": ["fixed_worker"],
+        "execution_mode": "stream",
+        "workers": [
+            {
+                "device": "cpu",
+                "device_ids": [0],
+                "max_batch": 4,
+                "dispatch_depth": 4,
+                "co_dispatch": 2,
+            }
+        ],
+        "running_time_ms": 400,
+        "profile_online": True,
+        "profile_warmup_runs": 1,
+        "profile_num_runs": 1,
+    }
+    cfg = BenchmarkConfig.from_dict(d)
+    bench = Benchmark(cfg, stage_inputs_on_device=False)
+    try:
+        # setup pre-built the 2-model combo (per-model batch sizes)
+        assert bench.engine._combo_state, "no combo scheduled at setup"
+        report = bench.run()
+        fused = bench.engine.co_dispatch_count
+    finally:
+        bench.shutdown()
+    assert report["total"]["processed"] > 0
+    assert report["total"]["canceled"] == 0
+    assert fused > 0, "stream rounds never fused"
