@@ -627,7 +627,7 @@ def _run_five_model_subprocess(duration_ms: int, onchip: dict):
 
     deadline = float(os.environ.get("BENCH_INNER_DEADLINE", "0") or 0)
     budget = (deadline - time.time() - 60.0) if deadline else 900.0
-    if budget < 180.0:
+    if budget < 120.0:
         return {"skipped": f"insufficient budget ({budget:.0f}s left)"}
     env = dict(os.environ)
     env["BENCH_ONCHIP_JSON"] = json.dumps(onchip)
@@ -677,6 +677,10 @@ def main():
     # lands under the measured roofline, the tunnel is most likely in a
     # degraded phase (rtt_probe_ms says so explicitly) — re-measure
     # while the driver budget allows and keep the best attempt
+    def _five_ok(f) -> bool:
+        # a REAL five-model block (not a skip/error placeholder)
+        return isinstance(f, dict) and ("slo_mix" in f or "capacity" in f)
+
     result = None
     attempts = 0
     max_attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
@@ -686,17 +690,26 @@ def main():
         if attempts > 0 and remaining < last_cost * 1.2:
             break
         t0 = time.perf_counter()
-        r = _run_tpu_subprocess(remaining, skip_five=attempts > 0)
+        # retries skip the five-model block only once a real one was
+        # captured; a budget-skipped/errored block gets another shot
+        have_five = result is not None and _five_ok(
+            result.get("five_model")
+        )
+        r = _run_tpu_subprocess(remaining, skip_five=have_five)
         last_cost = time.perf_counter() - t0
         attempts += 1
         if r is None:
             continue
         if result is None or r["req_s"] > result["req_s"]:
-            # keep the five-model block from whichever attempt ran it
+            # keep the best real five-model block across attempts
             five = result.get("five_model") if result else None
             result = r
-            if five and not result.get("five_model"):
+            if _five_ok(five) and not _five_ok(result.get("five_model")):
                 result["five_model"] = five
+        elif _five_ok(r.get("five_model")) and not _five_ok(
+            result.get("five_model")
+        ):
+            result["five_model"] = r["five_model"]
         if r.get("ratio_vs_batched_roofline", -1) >= 0.8 or (
             r.get("roofline_req_s_batched", -1) <= 0
             and r.get("ratio_vs_roofline", -1) >= 1.0

@@ -44,12 +44,13 @@ MAXB = int(os.environ.get("AB_MAX_BATCH", "32"))
 DEPTH = int(os.environ.get("AB_DEPTH", "8"))
 
 
-def measure(co_dispatch: int, device) -> tuple:
+def measure(co_dispatch: int, device, max_batch: int = None) -> tuple:
+    max_batch = MAXB if max_batch is None else max_batch
     cfg = (
         bt.RuntimeConfigBuilder()
         .add_scheduler(bt.SchedulerType.FIXED_WORKER)
         .add_worker(bt.WorkerSpec(device=bt.DeviceFlag.TPU,
-                                  device_ids=(0,), max_batch=MAXB,
+                                  device_ids=(0,), max_batch=max_batch,
                                   dispatch_depth=DEPTH,
                                   co_dispatch=co_dispatch,
                                   stuck_timeout_ms=120_000))
@@ -77,7 +78,7 @@ def measure(co_dispatch: int, device) -> tuple:
             feeds.append(ins)
         eng.wait_buckets_ready(timeout=900)
         if co_dispatch > 1:
-            ok = eng.warm_co_dispatch(mids, batch=MAXB, timeout=900)
+            ok = eng.warm_co_dispatch(mids, batch=max_batch, timeout=900)
             print(f"  combo warm: {ok}", file=sys.stderr, flush=True)
         warm = [eng.request_async(mids[i % 3], feeds[i % 3])
                 for i in range(9)]
@@ -87,8 +88,8 @@ def measure(co_dispatch: int, device) -> tuple:
             t0 = time.perf_counter()
             ids = []
             while len(ids) < n:
-                m = (len(ids) // MAXB) % 3
-                k = min(MAXB, n - len(ids))
+                m = (len(ids) // max_batch) % 3
+                k = min(max_batch, n - len(ids))
                 ids += eng.request_async_batch([mids[m]] * k,
                                                [feeds[m]] * k)
             eng.wait_all(ids, timeout=600)
